@@ -1,0 +1,416 @@
+"""Iterative graph kernels as DataFrame supersteps.
+
+Each kernel is the Spark-native re-expression of a reference algorithm
+(citations are to /root/reference):
+
+- ``pagerank``        — target kernel (north_rule); superstep skeleton is the
+                        reference's Bellman-Ford relax loop shape
+                        (src/SSSP/sssp.h:310-322): join state with edges,
+                        combine messages with an aggregate. The atomic
+                        ``write_add`` combiner (src/utils.h:45-63) becomes
+                        ``groupBy(dst).agg(sum)``.
+- ``connected_components`` — hash-min label propagation + pointer-jumping;
+                        semantics of ``get_cc`` union-find
+                        (external/connectivity.h:41-59); the CAS
+                        link-high-to-low becomes a deterministic ``min``
+                        aggregate; ``find_compress`` (external/connectivity.h:7-20)
+                        becomes the label-table self-join shortcut.
+- ``label_propagation`` — synchronous min-label adoption for K rounds — the
+                        deterministic analog of LDD's first-arrival CAS
+                        adoption (src/BCC/ldd.h:37-122).
+- ``bfs`` / ``sssp``  — frontier supersteps; direction optimization
+                        (src/BFS/bfs.h:160-162) is delegated to AQE's
+                        broadcast-vs-shuffle choice on the frontier side.
+- ``triangle_count``  — absent in the reference; standard degree-ordered
+                        orientation + two joins over the edge table.
+- ``degree_analytics`` — port of src/basic_analytics/basic_analytics.cpp:38-73.
+
+Scale notes (100 TB framing): the edge table is the big, static relation —
+it is scanned once per superstep and never shuffled after the initial
+partitioning-by-src; only the small per-vertex state moves. Message combine
+is expressed as partial+final hash aggregation (map-side combine), with an
+optional explicit salting stage for hub keys (north_rule). Lineage is
+truncated by eager localCheckpoint every ``checkpoint_every`` supersteps —
+on a cluster this would be a parquet/Iceberg checkpoint (see
+pasgal_spark.plans.checkpoints for the resumable variant).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _truncate(df: DataFrame, it: int, every: int) -> DataFrame:
+    """Eagerly materialize + cut lineage every ``every`` supersteps."""
+    if every and it % every == every - 1:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
+def salted_sum(
+    df: DataFrame, key: str, value: str, out: str, buckets: int = 8
+) -> DataFrame:
+    """Two-stage sum: partial per (key, salt) then final per key.
+
+    Explicit skew taming for power-law hub keys (north_rule). The salt is a
+    deterministic hash of the *contributing* row so rows of one hot key
+    spread over ``buckets`` reducers; the reference gets the same effect
+    from per-worker local queues + atomic write_add (src/BFS/bfs.h:121-132,
+    src/utils.h:45-63).
+    """
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key) * 31 + F.monotonically_increasing_id()), F.lit(buckets)))
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_psum"))
+    )
+    return partial.groupBy(key).agg(F.sum("_psum").alias(out))
+
+
+# ---------------------------------------------------------------------------
+# PageRank (target kernel)
+# ---------------------------------------------------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
+    iterations: int | None = None,
+    tol: float | None = None,
+    damping: float = 0.85,
+    # 2 supersteps per eager localCheckpoint measured fastest: deeper lazy
+    # chains blow up Catalyst compile time (the superstep plan includes two
+    # joins + a two-stage aggregate), shallower wastes a job per superstep.
+    checkpoint_every: int = 2,
+    salt_buckets: int = 8,
+    on_superstep: Callable[[int, float], None] | None = None,
+) -> DataFrame:
+    """PageRank with dangling-mass redistribution.
+
+    r'(v) = (1-d)/n + d * (Σ_{u→v} r(u)/outdeg(u) + dangling_mass/n)
+
+    Stop after ``iterations`` supersteps (deterministic, oracle-matched) or
+    when max |Δr| < ``tol``. Returns (id, rank).
+    """
+    assert iterations is not None or tol is not None
+    n = vertices.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = (
+        vertices.join(deg, vertices.id == deg.src, "left")
+        .select(vertices.id, F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    state = base.withColumn("rank", F.lit(1.0 / n))
+
+    it = 0
+    while True:
+        # Dangling mass stays a (broadcast) 1-row relation — no separate
+        # driver action per superstep; it joins into the same lazy plan.
+        dangling = state.filter("out_deg = 0").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contribs = (
+            edges.join(state, edges.src == state.id)
+            .select(edges.dst.alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+        )
+        sums = salted_sum(contribs, "id", "c", "contrib", salt_buckets)
+        # dangling mass is also damped: r' = (1-d)/n + d*(contrib + dangling/n)
+        new_rank = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+        )
+        new_state = (
+            base.join(sums, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("id", "out_deg", new_rank.alias("rank"))
+        )
+        if tol is not None:
+            # Convergence mode touches the state every superstep anyway —
+            # checkpoint each iteration so the delta job reads materialized
+            # blocks instead of recomputing the chain.
+            new_state = new_state.localCheckpoint(eager=True)
+        else:
+            new_state = _truncate(new_state, it, checkpoint_every)
+
+        it += 1
+        if tol is not None:
+            # One aggregate job per superstep: the convergence metric the
+            # north_rule records per iteration anyway.
+            delta = (
+                new_state.alias("n")
+                .join(state.alias("o"), "id")
+                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+                .first()[0]
+            )
+            if on_superstep:
+                on_superstep(it, delta)
+            state = new_state
+            if delta < tol or (iterations and it >= iterations):
+                break
+        else:
+            if on_superstep:
+                on_superstep(it, float("nan"))
+            state = new_state
+            if it >= iterations:
+                break
+
+    return state.select("id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Connected components (target kernel)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    max_iterations: int = 100,
+    checkpoint_every: int = 1,
+    pointer_jump: bool = True,
+) -> DataFrame:
+    """Hash-min CC over a symmetrized edge table → (id, component).
+
+    component = min vertex id in the component (canonical labels — the
+    deterministic replacement for the reference's CAS-race labels,
+    SURVEY.md §7.4). Pointer-jumping (label-of-label shortcut) gives
+    O(log n)-ish rounds on long-diameter graphs — the declarative analog of
+    ``find_compress`` path halving (external/connectivity.h:7-20).
+    """
+    labels = vertices.select("id", vertices.id.alias("component"))
+    prev_sum = None
+    for it in range(max_iterations):
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(sym.dst.alias("id"), "component")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        if pointer_jump:
+            parent = new.select(
+                F.col("id").alias("component"), F.col("component").alias("grand")
+            )
+            new = (
+                new.join(parent, "component", "left")
+                .select("id", F.least("component", "grand").alias("component"))
+            )
+        new = _truncate(new, it, checkpoint_every)
+        # Labels are monotonically non-increasing, so the label-sum is a
+        # strictly decreasing potential function: one cheap aggregate
+        # replaces a join-based change count (no second shuffle).
+        new_sum = new.agg(F.sum("component")).first()[0]
+        converged = it > 0 and new_sum == prev_sum
+        prev_sum = new_sum
+        labels = new
+        if converged:
+            break
+    return labels.select("id", "component")
+
+
+def largest_component(cc: DataFrame) -> DataFrame:
+    """(component, size) of the largest CC — reference ``get_largest_cc``
+    (external/connectivity.h:61-82)."""
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), F.asc("component"))
+        .limit(1)
+    )
+
+
+def component_histogram(cc: DataFrame) -> DataFrame:
+    """Component-size histogram — reference ``histogram_by_key``
+    (external/connectivity.h:66)."""
+    return (
+        cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (target kernel)
+# ---------------------------------------------------------------------------
+
+def label_propagation(
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    rounds: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Synchronous min-label LPA for a fixed number of rounds → (id, label).
+
+    Each round every vertex adopts min(own label, neighbor labels) —
+    deterministic version of LDD's first-arrival adoption
+    (src/BCC/ldd.h:37-122). After k rounds label(v) = min id within v's
+    k-hop closed neighborhood (the oracle-checkable invariant).
+    """
+    labels = vertices.select("id", vertices.id.alias("label"))
+    for it in range(rounds):
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(sym.dst.alias("id"), "label")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        labels = _truncate(labels, it, checkpoint_every)
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# BFS / SSSP (frontier supersteps; reference §2D)
+# ---------------------------------------------------------------------------
+
+def bfs(
+    sym: DataFrame,
+    source: int = 0,
+    *,
+    max_depth: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Hop distances from ``source`` over the symmetric graph → (id, dist).
+
+    Frontier superstep loop (reference src/BFS/bfs.h:164-222). The
+    sparse/dense push-pull switch becomes AQE's broadcast-vs-shuffle join
+    choice on the frontier relation; the visited bitmap is a left-anti join.
+    Only vertices reached within ``max_depth`` hops are returned.
+    """
+    spark = sym.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "id long, dist int")
+    frontier = visited
+    d = 0
+    while d < max_depth:
+        d += 1
+        nxt = (
+            sym.join(frontier, sym.src == frontier.id)
+            .select(sym.dst.alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("dist", F.lit(d))
+        )
+        nxt = _truncate(nxt, d, checkpoint_every)
+        if nxt.isEmpty():
+            break
+        visited = _truncate(visited.unionByName(nxt), d, checkpoint_every)
+        frontier = nxt
+    return visited
+
+
+def sssp(
+    wedges: DataFrame,
+    source: int = 0,
+    *,
+    cap: int = 40,
+    max_iterations: int = 100,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Bellman-Ford shortest paths with distances capped at ``cap``.
+
+    The reference's template-method SSSP (src/SSSP/sssp.h:196-236) with the
+    Bellman-Ford threshold (src/SSSP/sssp.h:310-322): relax the entire
+    frontier each superstep; ``write_min`` (src/utils.h:65-81) becomes
+    ``groupBy(id).agg(min)``. Positive weights + cap bound the search.
+    Returns (id, dist) for vertices with dist <= cap.
+    """
+    spark = wedges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "id long, dist long")
+    prev_sig = None
+    for it in range(max_iterations):
+        relaxed = (
+            wedges.join(dist, wedges.src == dist.id)
+            .select(wedges.dst.alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .filter(F.col("dist") <= cap)
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new = _truncate(new, it, checkpoint_every)
+        # Distances only decrease and rows are only added → the pair
+        # (count, sum) is a monotone potential; equality ⟺ fixpoint.
+        sig = tuple(new.agg(F.count(F.lit(1)), F.sum("dist")).first())
+        converged = it > 0 and sig == prev_sig
+        prev_sig = sig
+        dist = new
+        if converged:
+            break
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (target kernel; no reference impl — SURVEY.md §2D)
+# ---------------------------------------------------------------------------
+
+def triangle_count(sym: DataFrame) -> DataFrame:
+    """Exact global triangle count over the symmetrized graph → (triangles).
+
+    Degree-ordered orientation: keep edge u→v iff (deg(u),u) < (deg(v),v),
+    so every triangle is counted exactly once and the wedge join fans out
+    from low-degree endpoints — the standard mitigation for power-law hubs
+    (a hub's O(d²) wedges are never enumerated from the hub side).
+    """
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "v")
+    e = (
+        sym.join(deg.alias("ds"), F.col("src") == F.col("ds.v"))
+        .join(deg.alias("dd"), F.col("dst") == F.col("dd.v"))
+        .filter(
+            (F.col("ds.deg") < F.col("dd.deg"))
+            | ((F.col("ds.deg") == F.col("dd.deg")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    e.cache()
+    wedge = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("x"), F.col("a.dst").alias("y"), F.col("b.dst").alias("z"))
+    )
+    tri = (
+        wedge.join(
+            e.alias("c"),
+            (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return tri
+
+
+# ---------------------------------------------------------------------------
+# Degree analytics (reference src/basic_analytics/basic_analytics.cpp:38-73)
+# ---------------------------------------------------------------------------
+
+def degree_analytics(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """One-row summary: n, m, max/zero out-degree, max/zero in-degree.
+
+    The reference computes these with sequential loops; here it is two
+    partial-aggregated shuffles joined against the vertex universe (isolated
+    vertices count as zero-degree — basic_analytics.cpp:52-63 semantics).
+    """
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    vo = vertices.join(out_deg, vertices.id == out_deg.src, "left").select(
+        "id", F.coalesce("d", F.lit(0)).alias("out_d")
+    )
+    vi = vertices.join(in_deg, vertices.id == in_deg.dst, "left").select(
+        "id", F.coalesce("d", F.lit(0)).alias("in_d")
+    )
+    n = vertices.agg(F.count(F.lit(1)).alias("n"))
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    o = vo.agg(
+        F.max("out_d").alias("max_out_deg"),
+        F.sum(F.when(F.col("out_d") == 0, 1).otherwise(0)).alias("zero_out_deg"),
+    )
+    i = vi.agg(
+        F.max("in_d").alias("max_in_deg"),
+        F.sum(F.when(F.col("in_d") == 0, 1).otherwise(0)).alias("zero_in_deg"),
+    )
+    return n.crossJoin(m).crossJoin(o).crossJoin(i)
