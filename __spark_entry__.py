@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pasgal_spark.graph import build_graph, kernels
-from pasgal_spark.graph.builder import GRAPH_CTE, LinkGraph
+from pasgal_spark.graph.builder import GRAPH_CTE, LinkGraph, load_views
+from pasgal_spark.sources.pages import PAGES_CTE, pages_from_documents
+from pasgal_spark.sources.extract import extract_links, extract_text, links_to_edges
+from pasgal_spark.functions import textstats, dedup, similarity, events as ev
+from pasgal_spark.functions.dedup import CORPUS_CTE
 
 # ---------------------------------------------------------------------------
 # graph cache (one derivation per sf_dir per session)
@@ -121,6 +125,109 @@ def _q_in_degree(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
+    return extract_links(pages_from_documents(spark, sf))
+
+
+def _q_extract_text(spark: SparkSession, sf: str) -> DataFrame:
+    return extract_text(pages_from_documents(spark, sf))
+
+
+def _q_page_link_degree(spark: SparkSession, sf: str) -> DataFrame:
+    edges = links_to_edges(extract_links(pages_from_documents(spark, sf)))
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_links"))
+
+
+def _tbl(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    load_views(spark, sf, [name])
+    return spark.table(name)
+
+
+# -- text / dedup / similarity / events queries -----------------------------
+
+def _q_token_count(spark, sf):
+    return textstats.token_count(_tbl(spark, sf, "documents"))
+
+
+def _q_quality_score(spark, sf):
+    return textstats.quality_score(_tbl(spark, sf, "documents"))
+
+
+def _q_lang_id(spark, sf):
+    return textstats.lang_id(_tbl(spark, sf, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf):
+    return textstats.doc_fingerprint(_tbl(spark, sf, "documents"))
+
+
+def _q_exact_dedup(spark, sf):
+    return dedup.exact_dedup(dedup.corpus(spark, sf))
+
+
+def _q_minhash(spark, sf):
+    return dedup.minhash_signatures(dedup.corpus(spark, sf))
+
+
+def _q_lsh_pairs(spark, sf):
+    return dedup.lsh_candidate_pairs(dedup.corpus(spark, sf))
+
+
+def _q_jaccard_dedup(spark, sf):
+    c = dedup.corpus(spark, sf)
+    return dedup.jaccard_verify(c, dedup.lsh_candidate_pairs(c))
+
+
+def _q_simhash(spark, sf):
+    return dedup.simhash(_tbl(spark, sf, "documents"))
+
+
+def _q_cosine_topk(spark, sf):
+    return similarity.cosine_topk(_tbl(spark, sf, "embeddings"))
+
+
+def _q_ann_buckets(spark, sf):
+    return similarity.hyperplane_buckets(_tbl(spark, sf, "embeddings"))
+
+
+def _q_bucketed_ann(spark, sf):
+    return similarity.bucketed_ann(_tbl(spark, sf, "embeddings"))
+
+
+def _q_sessionize(spark, sf):
+    return ev.sessionize(_tbl(spark, sf, "events"))
+
+
+def _q_hourly_rollup(spark, sf):
+    return ev.hourly_rollup(_tbl(spark, sf, "events"))
+
+
+def _q_running_total(spark, sf):
+    return ev.running_total(_tbl(spark, sf, "events"))
+
+
+def _q_top_users(spark, sf):
+    return ev.top_users(_tbl(spark, sf, "events"))
+
+
+def _q_event_histogram(spark, sf):
+    return ev.event_histogram(_tbl(spark, sf, "events"))
+
+
+def _q_pricing_summary(spark, sf):
+    return ev.pricing_summary(_tbl(spark, sf, "lineitem"))
+
+
+def _q_top_revenue(spark, sf):
+    return ev.top_revenue_orders(
+        _tbl(spark, sf, "orders"), _tbl(spark, sf, "lineitem")
+    )
+
+
+def _q_priority_histogram(spark, sf):
+    return ev.order_priority_histogram(_tbl(spark, sf, "orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_analytics": _q_degree_analytics,
@@ -134,6 +241,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "symmetrize": _q_symmetrize,
         "in_degree": _q_in_degree,
+        "extract_links": _q_extract_links,
+        "extract_text": _q_extract_text,
+        "page_link_degree": _q_page_link_degree,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_signatures": _q_minhash,
+        "lsh_candidate_pairs": _q_lsh_pairs,
+        "jaccard_dedup": _q_jaccard_dedup,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ann_buckets": _q_ann_buckets,
+        "bucketed_ann": _q_bucketed_ann,
+        "sessionize": _q_sessionize,
+        "hourly_rollup": _q_hourly_rollup,
+        "running_total": _q_running_total,
+        "top_users": _q_top_users,
+        "event_histogram": _q_event_histogram,
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue,
+        "order_priority_histogram": _q_priority_histogram,
     }
 
 
@@ -143,7 +273,225 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     C = GRAPH_CTE
+    # DuckDB twins of the engine's portable primitives
+    TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+    def DH(x: str) -> str:  # portable_hash twin
+        return f"CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+    STOP = {
+        k: "[" + ",".join(f"'{w}'" for w in v) + "]"
+        for k, v in textstats.STOPWORDS.items()
+    }
+
+    def stop_hits(lang: str) -> str:
+        return f"len(list_filter(t, x -> list_contains({STOP[lang]}, x)))"
+
+    # 3-token shingles twin (1-based DuckDB list indexing)
+    SHINGLES = (
+        "CASE WHEN len(t) >= 3 THEN "
+        "list_transform(range(1, len(t) - 1), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+    MINHASH_SIGS = f"""
+        toklists AS (SELECT doc_id, {TOKS} AS t FROM corpus),
+        toks AS (SELECT doc_id, unnest(list_distinct({SHINGLES})) AS tok FROM toklists),
+        seeded AS (SELECT doc_id, tok, seed
+                   FROM toks, (SELECT CAST(unnest(range(8)) AS INT) AS seed) seeds),
+        sigs AS (
+          SELECT doc_id, seed,
+                 min({DH("concat(CAST(seed AS STRING), ':', tok)")}) AS minhash
+          FROM seeded GROUP BY doc_id, seed
+        )
+    """
+    LSH_PAIRS = f"""
+        {MINHASH_SIGS},
+        piv AS (
+          SELECT doc_id,
+                 {", ".join(f"min(CASE WHEN seed = {k} THEN minhash END) AS m{k}" for k in range(8))}
+          FROM sigs GROUP BY doc_id
+        ),
+        bands AS (
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(concat(CAST(m{2*b} AS STRING), '_', CAST(m{2*b+1} AS STRING))) AS band_hash FROM piv"
+            for b in range(4)
+          )}
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+        )
+    """
+    COSINE = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    plane = (
+        lambda p: f"list_transform(range(64), j -> CAST(({p} * 131071 + j * 524287) % 2001 - 1000 AS DOUBLE))"
+    )
+    bucket_expr = " + ".join(
+        f"CASE WHEN list_dot_product(e, {plane(p)}) > 0 THEN {2**p} ELSE 0 END"
+        for p in range(8)
+    )
     return {
+        "token_count": f"""
+            SELECT doc_id, CAST(len({TOKS}) AS INT) AS n_tokens FROM documents
+        """,
+        "quality_score": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+            raw AS (
+              SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                CASE WHEN len(t) > 0 THEN len(list_distinct(t)) / len(t) ELSE 0.0 END AS dr,
+                CASE WHEN len(t) > 0 THEN {stop_hits("en")} / len(t) ELSE 0.0 END AS sr
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, round(dr, 4) AS distinct_ratio,
+                   round(sr, 4) AS stop_ratio,
+                   round(0.5 * sr + 0.3 * dr + 0.2 * least(n_tokens / 100.0, 1.0), 4) AS quality
+            FROM raw
+        """,
+        "lang_id": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+            cnt AS (SELECT doc_id, {stop_hits("en")} AS en, {stop_hits("de")} AS de,
+                           {stop_hits("fr")} AS fr, {stop_hits("es")} AS es FROM toks)
+            SELECT doc_id,
+              CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de >= fr AND de >= es THEN 'de'
+                   WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+            FROM cnt
+        """,
+        "doc_fingerprint": f"""
+            WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+            pos AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos FROM toks)
+            SELECT doc_id,
+                   CAST(sum(pos * ({DH("tok")} % {textstats.TOK_MOD})) % {textstats.FP_MOD} AS BIGINT) AS fingerprint
+            FROM pos GROUP BY doc_id
+        """,
+        "exact_dedup": f"""
+            WITH {CORPUS_CTE}
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+                   doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+            FROM corpus
+        """,
+        "minhash_signatures": f"""
+            WITH {CORPUS_CTE}, {MINHASH_SIGS}
+            SELECT doc_id, seed, minhash FROM sigs
+        """,
+        "lsh_candidate_pairs": f"""
+            WITH {CORPUS_CTE}, {LSH_PAIRS}
+            SELECT a, b FROM cand
+        """,
+        "jaccard_dedup": f"""
+            WITH {CORPUS_CTE}, {LSH_PAIRS},
+            tlists AS (SELECT doc_id, {TOKS} AS t FROM corpus),
+            tsets AS (SELECT doc_id, list_distinct({SHINGLES}) AS t FROM tlists)
+            SELECT a, b,
+                   round(len(list_intersect(ta.t, tb.t))
+                         / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 4) AS jaccard
+            FROM cand JOIN tsets ta ON cand.a = ta.doc_id
+                      JOIN tsets tb ON cand.b = tb.doc_id
+            WHERE round(len(list_intersect(ta.t, tb.t))
+                        / (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 4) >= 0.7
+        """,
+        "simhash": f"""
+            WITH toks AS (SELECT doc_id, unnest(list_distinct({TOKS})) AS tok FROM documents),
+            th AS (SELECT doc_id, {DH("tok")} % 4294967296 AS h32 FROM toks),
+            bits AS (SELECT doc_id, h32, b FROM th,
+                     (SELECT unnest(range(32)) AS b) bb),
+            votes AS (
+              SELECT doc_id, b,
+                     sum((CAST(floor(h32 / power(2, b)) AS BIGINT) % 2) * 2 - 1) AS v
+              FROM bits GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "cosine_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     {COSINE.format(a="q.qe", b="e.e")} AS s
+              FROM q, e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, score FROM (
+              SELECT query_id, neighbor_id, round(s, 6) AS score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+              FROM scored
+            ) WHERE rn <= 5
+        """,
+        "ann_buckets": f"""
+            WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM e0
+        """,
+        "bucketed_ann": f"""
+            WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket, e FROM e0),
+            pairs AS (
+              SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+                     {COSINE.format(a="l.e", b="r.e")} AS s
+              FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+            )
+            SELECT query_id, neighbor_id, score FROM (
+              SELECT query_id, neighbor_id, round(s, 6) AS score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+              FROM pairs
+            ) WHERE rn <= 3
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "hourly_rollup": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+                   count(*) AS n, round(sum(value), 3) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+            FROM events
+        """,
+        "top_users": """
+            SELECT user_id, round(sum(value), 3) AS total
+            FROM events GROUP BY user_id
+            ORDER BY total DESC, user_id ASC LIMIT 10
+        """,
+        "event_histogram": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            WITH rev AS (
+              SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderkey AS orderkey, o_orderpriority, revenue
+            FROM orders JOIN rev ON o_orderkey = l_orderkey
+            ORDER BY revenue DESC, orderkey ASC LIMIT 10
+        """,
+        "order_priority_histogram": """
+            SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+        """,
         "degree_analytics": f"""
             WITH {C},
             outd AS (SELECT v.id, count(e.src) AS d FROM vertices v
@@ -258,5 +606,30 @@ def oracle_sql() -> dict[str, str]:
         "in_degree": f"""
             WITH {C}
             SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst
+        """,
+        "extract_links": f"""
+            WITH {PAGES_CTE}
+            SELECT url AS src_url,
+                   unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS dst_url
+            FROM pages
+        """,
+        "extract_text": f"""
+            WITH {PAGES_CTE}
+            SELECT url, regexp_replace(html, '<[^>]*>', '', 'g') AS text FROM pages
+        """,
+        "page_link_degree": f"""
+            WITH {PAGES_CTE},
+            links AS (
+              SELECT url AS src_url,
+                     unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS dst_url
+              FROM pages
+            ),
+            pe AS (
+              SELECT DISTINCT
+                     CAST(regexp_extract(src_url, '/p/(\\d+)$', 1) AS BIGINT) AS src,
+                     CAST(regexp_extract(dst_url, '/p/(\\d+)$', 1) AS BIGINT) AS dst
+              FROM links
+            )
+            SELECT src, count(*) AS out_links FROM pe WHERE src <> dst GROUP BY src
         """,
     }

@@ -1,0 +1,174 @@
+"""Deduplication operators for web-scale corpora.
+
+Pipeline mirror of large-crawl training-data dedup: exact (content hash),
+MinHash + LSH banding (near-dup candidate generation), n-gram Jaccard
+verification, SimHash fingerprints. All stages are DataFrame expressions
+(shuffle = groupBy on content hash / band bucket — embarrassingly
+partitionable at 100 TB; no pairwise all-to-all anywhere: candidate pairs
+only materialize within an LSH band bucket).
+
+The ``corpus`` view used by the driver queries simulates a re-crawl: the
+``documents`` table unioned with every 10th doc re-ingested under a new id
+— so dedup operators have true positives to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pasgal_spark.functions.textstats import portable_hash, shingles, tokens
+
+NUM_HASHES = 8
+BANDS = 4  # rows-per-band = NUM_HASHES // BANDS = 2
+
+# Portable corpus CTE (Spark SQL ∩ DuckDB).
+CORPUS_CTE = """
+doc_params AS (SELECT CAST(count(*) AS BIGINT) AS np FROM documents),
+corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT np FROM doc_params) AS doc_id, text, lang
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pasgal_spark.graph.builder import load_views
+
+    load_views(spark, sf_dir, ["documents"])
+    return spark.sql(f"WITH {CORPUS_CTE} SELECT doc_id, text, lang FROM corpus")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, keeper, is_dup): group by content hash, keep min doc_id.
+
+    The 100 TB plan: one hash-partitioned shuffle on md5(text); Spark's
+    partial aggregation handles the (rare) giant duplicate clusters.
+    """
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keeper"),
+    ).withColumn("is_dup", (F.col("doc_id") != F.col("keeper")).cast("boolean"))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, seed, minhash): MinHash over distinct 3-token shingles.
+
+    One row per (doc, seed); signature hash H(seed:shingle) is the portable
+    md5-based hash, min-combined per seed — ``write_min`` as aggregation
+    (reference src/utils.h:65-81 idiom). Shingles (not unigrams) so the
+    signature discriminates word *order*, which a web corpus needs.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("tok")
+    )
+    seeded = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("tok"),
+    )
+    h = portable_hash(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok")))
+    return (
+        seeded.select("doc_id", "seed", h.alias("h"))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(sigs: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, band, band_hash): band the signature for bucket joins."""
+    rpb = num_hashes // bands
+    pivoted = sigs.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("seed") == k, F.col("minhash"))).alias(f"m{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"m{b * rpb + r}").cast("string") for r in range(rpb)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return pivoted.select(
+        "doc_id", F.explode(band_structs).alias("bh")
+    ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(a, b) near-duplicate candidate pairs sharing any LSH band bucket.
+
+    The scale path: the only join is an equi-join on (band, band_hash) —
+    candidate pairs never cross bucket boundaries, so cost is
+    Σ bucket_size², not n². a < b, deduped across bands.
+    """
+    bands = lsh_bands(minhash_signatures(docs))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """(a, b, jaccard): exact token-set Jaccard on candidate pairs.
+
+    Verification stage after LSH — only candidate pairs pay the set
+    intersection, never the full corpus.
+    """
+    t = docs.select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("toks"))
+    j = (
+        pairs.join(t.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
+        .join(t.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    jac = inter / union
+    return (
+        j.select("a", "b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): bitwise-majority fingerprint over token hashes.
+
+    Each distinct token votes ±1 per bit of its 32-bit hash; the fingerprint
+    sets bits with positive vote sums. Exact-arithmetic formulation
+    (floor-div by powers of two) so any engine reproduces it bit-for-bit.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    h32 = (portable_hash(F.col("tok")) % F.lit(2**32)).alias("h32")
+    bitted = toks.select(
+        "doc_id",
+        h32,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    bit = (F.floor(F.col("h32") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2)
+    vote = (bit * 2 - 1).alias("vote")
+    per_bit = (
+        bitted.select("doc_id", "b", vote)
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    weight = F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0)
+    return per_bit.groupBy("doc_id").agg(F.sum(weight).alias("simhash"))

@@ -1,0 +1,115 @@
+"""Event-stream analytics (batch form) + relational coverage queries.
+
+These cover the dataflow primitives of SURVEY.md §2C on the driver's tables:
+scan/prefix-sum (running totals — reference ``scan_inplace``,
+src/graph.h:107-109), group-by-count histograms (``histogram_by_key``,
+external/connectivity.h:66), top-k (``max_element``), sessionization
+(ordered window + gap predicate). The streaming twin of the tumbling
+rollup lives in pasgal_spark.streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 1800
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """(user_id, n_sessions): count sessions split at inactivity gaps.
+
+    lag-window + cumulative-sum-of-boundaries — the standard batch
+    sessionization; deterministic ordering via (ts, event_id).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    is_start = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - prev > gap_s), 1
+    ).otherwise(0)
+    return (
+        events.select("user_id", is_start.alias("s"))
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"))
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """(hour_bucket, event_type, n, sum_value): tumbling 1h windows."""
+    bucket = F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket")
+    return (
+        events.groupBy(bucket, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+def running_total(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, cum_value): per-user prefix sum in time order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("cum_value")
+    )
+
+
+def top_users(events: DataFrame, k: int = 10) -> DataFrame:
+    """(user_id, total): top-k users by summed value (max_element analog)."""
+    return (
+        events.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 3).alias("total"))
+        .orderBy(F.desc("total"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+def event_histogram(events: DataFrame) -> DataFrame:
+    """(event_type, n): histogram_by_key."""
+    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- relational coverage over the TPC-H-ish tables ------------------------
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Q1-style aggregate sweep (filter → groupBy → multi-agg)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_revenue_orders(orders: DataFrame, lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """Q3-style join + agg + top-k."""
+    rev = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+        .select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(k)
+    )
+
+
+def order_priority_histogram(orders: DataFrame) -> DataFrame:
+    """(o_orderpriority, n)."""
+    return orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,125 @@
+"""Text analytics for training-data pipelines over the ``documents`` table.
+
+All operators are pure column expressions (JVM-side, whole-stage codegen —
+no Python in the hot path). Tokenization, hashing and scoring are defined
+portably so DuckDB oracles can recompute them exactly:
+
+- tokens:   split(lower(text), '[^a-z0-9]+') minus empties
+- hash:     first 15 hex chars of md5 → int64 (identical in Spark/DuckDB)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FP_MOD = 1_000_000_007
+TOK_MOD = 1_000_003
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "des", "et", "est", "un", "une", "pour", "que"],
+    "es": ["el", "los", "de", "y", "es", "un", "una", "para", "con", "se"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Lowercase word tokens (whitespace/punct split, empties removed)."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles (space-joined windows) — the dedup unit for MinHash.
+
+    Pure higher-order-function expression; empty array when fewer than k
+    tokens. DuckDB twin uses 1-based list indexing with range().
+    """
+    t = tokens(col)
+    n = F.size(t)
+    win = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(k)]
+        ),
+    )
+    return F.when(n >= k, win).otherwise(F.array().cast("array<string>"))
+
+
+def portable_hash(col: Column) -> Column:
+    """Deterministic cross-engine string hash → non-negative int64.
+
+    First 15 hex chars of md5 (< 2^60). DuckDB twin:
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — whitespace/regex token counting."""
+    return docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+
+
+def _stop_hits(toks: Column, lang: str) -> Column:
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, distinct_ratio, stop_ratio, quality).
+
+    Heuristic document-quality features: token count, vocabulary diversity,
+    stopword density; quality = linear blend, rounded for cross-engine
+    comparability.
+    """
+    t = tokens(F.col("text"))
+    docs = docs.select("doc_id", t.alias("toks"))
+    n = F.size("toks")
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct("toks")) / n).otherwise(0.0)
+    stop_ratio = F.when(n > 0, _stop_hits(F.col("toks"), "en") / n).otherwise(0.0)
+    quality = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.2) * F.least(n / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — stopword-overlap language heuristic.
+
+    Deterministic argmax with fixed priority en > de > fr > es on ties.
+    """
+    t = tokens(F.col("text"))
+    d = docs.select("doc_id", t.alias("toks"))
+    en, de, fr, es = [ _stop_hits(F.col("toks"), l) for l in ("en", "de", "fr", "es") ]
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — position-weighted rolling-hash fingerprint.
+
+    fp = Σ_pos (pos+1) * (H(tok) mod TOK_MOD)  mod FP_MOD  (pos 1-based).
+    Order-sensitive (unlike a bag-of-words hash) yet cross-engine exact.
+    """
+    t = tokens(F.col("text"))
+    exploded = docs.select("doc_id", F.posexplode(t).alias("pos", "tok"))
+    contrib = (F.col("pos") + 1) * (portable_hash(F.col("tok")) % TOK_MOD)
+    return (
+        exploded.groupBy("doc_id")
+        .agg((F.sum(contrib) % FP_MOD).alias("fingerprint"))
+    )
