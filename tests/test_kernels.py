@@ -1,0 +1,168 @@
+"""Kernel correctness on hand-written micro-graphs (FIXTURES.md F3) vs
+pure-Python sequential oracles — the reference's differential-test pattern
+(/root/reference/src/BFS/bfs.cpp:34-40 assert(dist == exp_dist))."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pasgal_spark.graph import kernels
+from pasgal_spark.graph.builder import symmetrize, transpose, validate
+from tests.conftest import edges_df, vertices_df
+from tests.oracles import (
+    bfs_oracle,
+    cc_oracle,
+    dijkstra_oracle,
+    lpa_oracle,
+    pagerank_oracle,
+    triangle_oracle,
+)
+
+# two triangles {0,1,2}, {3,4,5} + bridge 2-3, plus isolated vertex 6
+TT_EDGES = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+TT_N = 7
+
+# path 0-1-...-9 (long-diameter analog of the reference's grid fixtures)
+PATH_EDGES = [(i, i + 1) for i in range(9)]
+PATH_N = 10
+
+# star: hub 0 <- 1..30 (skew + dangling-mass fixture)
+STAR_EDGES = [(i, 0) for i in range(1, 31)]
+STAR_N = 31
+
+
+def _sym_pairs(pairs):
+    s = set()
+    for u, v in pairs:
+        if u != v:
+            s.add((u, v))
+            s.add((v, u))
+    return sorted(s)
+
+
+def test_connected_components_micrographs(spark):
+    for pairs, n in [(TT_EDGES, TT_N), (PATH_EDGES, PATH_N), (STAR_EDGES, STAR_N)]:
+        sym = edges_df(spark, _sym_pairs(pairs))
+        verts = vertices_df(spark, range(n))
+        got = dict(
+            kernels.connected_components(sym, verts).collect()
+        )
+        assert got == cc_oracle(n, pairs)
+
+
+def test_cc_isolated_vertex_is_own_component(spark):
+    sym = edges_df(spark, _sym_pairs(TT_EDGES))
+    verts = vertices_df(spark, range(TT_N))
+    got = dict(kernels.connected_components(sym, verts).collect())
+    assert got[6] == 6
+
+
+def test_label_propagation_matches_sync_min_label(spark):
+    for rounds in (1, 2, 3):
+        sym = edges_df(spark, _sym_pairs(PATH_EDGES))
+        verts = vertices_df(spark, range(PATH_N))
+        got = dict(
+            kernels.label_propagation(sym, verts, rounds=rounds).collect()
+        )
+        assert got == lpa_oracle(PATH_N, PATH_EDGES, rounds)
+
+
+def test_bfs_hop_distances(spark):
+    sym = edges_df(spark, _sym_pairs(TT_EDGES))
+    got = dict(kernels.bfs(sym, source=0, max_depth=10).collect())
+    assert got == bfs_oracle(TT_EDGES, 0, 10)
+
+
+def test_bfs_respects_max_depth(spark):
+    sym = edges_df(spark, _sym_pairs(PATH_EDGES))
+    got = dict(kernels.bfs(sym, source=0, max_depth=3).collect())
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_sssp_vs_dijkstra(spark):
+    wpairs = [(u, v, (u * 31 + v * 17) % 8 + 1) for u, v in _sym_pairs(TT_EDGES)]
+    wedges = spark.createDataFrame(wpairs, "src long, dst long, w long")
+    got = dict(
+        kernels.sssp(wedges, source=0, cap=40).select("id", "dist").collect()
+    )
+    assert got == dijkstra_oracle(wpairs, 0, cap=40)
+
+
+def test_pagerank_allclose_vs_power_iteration(spark):
+    edges = edges_df(spark, TT_EDGES)
+    verts = vertices_df(spark, range(TT_N))
+    got = dict(
+        kernels.pagerank(edges, verts, iterations=20).collect()
+    )
+    exp = pagerank_oracle(TT_N, TT_EDGES, iters=20)
+    assert all(math.isclose(got[u], exp[u], abs_tol=1e-9) for u in range(TT_N))
+    # ranks are a probability distribution
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_dangling_star(spark):
+    # all mass flows into hub 0, which is dangling -> redistributed
+    edges = edges_df(spark, STAR_EDGES)
+    verts = vertices_df(spark, range(STAR_N))
+    got = dict(kernels.pagerank(edges, verts, tol=1e-8).collect())
+    exp = pagerank_oracle(STAR_N, STAR_EDGES, tol=1e-8)
+    assert all(math.isclose(got[u], exp[u], abs_tol=1e-6) for u in range(STAR_N))
+    assert got[0] == max(got.values())
+
+
+def test_triangle_count(spark):
+    for pairs, expected in [
+        (TT_EDGES, 2),
+        (PATH_EDGES, 0),
+        (TT_EDGES + [(0, 3), (0, 4)], None),  # denser; compare vs oracle
+    ]:
+        sym = edges_df(spark, _sym_pairs(pairs))
+        got = kernels.triangle_count(sym).first()["triangles"]
+        exp = triangle_oracle(pairs) if expected is None else expected
+        assert got == exp
+
+
+def test_degree_analytics_counts_isolated(spark):
+    edges = edges_df(spark, TT_EDGES)
+    verts = vertices_df(spark, range(TT_N))
+    row = kernels.degree_analytics(edges, verts).first().asDict()
+    assert row == {
+        "n": 7,
+        "m": 7,
+        "max_out_deg": 2,
+        "zero_out_deg": 2,  # 5 has no out-edges, 6 isolated
+        "max_in_deg": 2,
+        "zero_in_deg": 2,  # 0 has no in-edge, 6 isolated
+    }
+
+
+def test_transpose_and_symmetrize(spark):
+    edges = edges_df(spark, [(0, 1), (1, 2), (1, 2), (2, 2)])
+    t = sorted(transpose(edges).collect())
+    assert t == [(1, 0), (2, 1), (2, 1), (2, 2)]
+    s = sorted(tuple(r) for r in symmetrize(edges).collect())
+    assert s == [(0, 1), (1, 0), (1, 2), (2, 1)]  # self-loop + dups dropped
+
+
+def test_validate_flags_violations(spark):
+    edges = edges_df(spark, [(0, 1), (0, 1), (2, 2), (9, 0)])
+    v = validate(edges, n=5)
+    assert v == {"out_of_range": 1, "self_loops": 1, "dups": 1}
+
+
+def test_salted_sum_equals_plain_sum(spark):
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(100)], "k long, v double"
+    )
+    got = {
+        r["k"]: r["s"]
+        for r in kernels.salted_sum(df, "k", "v", "s", buckets=4).collect()
+    }
+    exp = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got.keys() == exp.keys()
+    assert all(math.isclose(got[k], exp[k], rel_tol=1e-12) for k in got)
