@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pasgal_spark.graph import build_graph, kernels
+from pasgal_spark.graph import directed
 from pasgal_spark.graph.builder import GRAPH_CTE, LinkGraph, load_views
 from pasgal_spark.sources.pages import PAGES_CTE, pages_from_documents
 from pasgal_spark.sources.extract import extract_links, extract_text, links_to_edges
@@ -122,6 +123,42 @@ def _q_in_degree(spark: SparkSession, sf: str) -> DataFrame:
     t = transpose(g.edges)
     return t.groupBy("src").agg(F.count(F.lit(1)).alias("in_deg")).withColumnRenamed(
         "src", "id"
+    )
+
+
+MR_SOURCES = [0, 7, 23, 101]
+
+
+def _q_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    return directed.reachability(g.edges, source=0)
+
+
+def _q_multi_reach(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    return directed.multi_reachability(g.edges, MR_SOURCES)
+
+
+def _q_scc(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    return directed.scc(g.edges, g.vertices)
+
+
+def _q_spanning_forest_size(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    cc = kernels.connected_components(g.sym, g.vertices)
+    forest = directed.spanning_forest(g.sym, g.vertices, cc)
+    return forest.groupBy("component").agg(F.count(F.lit(1)).alias("tree_edges"))
+
+
+def _q_approx_diameter(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    d1 = kernels.bfs(g.sym, source=0, max_depth=60)
+    far = d1.orderBy(F.desc("dist"), F.asc("id")).first()
+    d2 = kernels.bfs(g.sym, source=far["id"], max_depth=60)
+    return d2.agg(
+        F.lit(far["id"]).cast("long").alias("far_vertex"),
+        F.max("dist").alias("diameter"),
     )
 
 
@@ -241,6 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangles,
         "symmetrize": _q_symmetrize,
         "in_degree": _q_in_degree,
+        "reachability": _q_reachability,
+        "multi_reachability": _q_multi_reach,
+        "scc": _q_scc,
+        "spanning_forest_size": _q_spanning_forest_size,
+        "approx_diameter": _q_approx_diameter,
         "extract_links": _q_extract_links,
         "extract_text": _q_extract_text,
         "page_link_degree": _q_page_link_degree,
@@ -293,14 +335,17 @@ def oracle_sql() -> dict[str, str]:
         "list_transform(range(1, len(t) - 1), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) "
         "ELSE CAST([] AS VARCHAR[]) END"
     )
+    MINHASH_P = dedup.MINHASH_P
+    MINHASH_B = dedup.MINHASH_B
     MINHASH_SIGS = f"""
         toklists AS (SELECT doc_id, {TOKS} AS t FROM corpus),
         toks AS (SELECT doc_id, unnest(list_distinct({SHINGLES})) AS tok FROM toklists),
-        seeded AS (SELECT doc_id, tok, seed
-                   FROM toks, (SELECT CAST(unnest(range(8)) AS INT) AS seed) seeds),
+        mhbase AS (SELECT doc_id, {DH("tok")} % {MINHASH_P} AS h0 FROM toks),
+        seeded AS (SELECT doc_id, h0, seed
+                   FROM mhbase, (SELECT CAST(unnest(range(8)) AS INT) AS seed) seeds),
         sigs AS (
           SELECT doc_id, seed,
-                 min({DH("concat(CAST(seed AS STRING), ':', tok)")}) AS minhash
+                 min(((seed * 2 + 1) * h0 + seed * {MINHASH_B}) % {MINHASH_P}) AS minhash
           FROM seeded GROUP BY doc_id, seed
         )
     """
@@ -606,6 +651,67 @@ def oracle_sql() -> dict[str, str]:
         "in_degree": f"""
             WITH {C}
             SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst
+        """,
+        "reachability": f"""
+            WITH RECURSIVE {C},
+            r(id) AS (
+              SELECT CAST(0 AS BIGINT)
+              UNION
+              SELECT e.dst FROM r JOIN edges e ON e.src = r.id
+            )
+            SELECT id FROM r
+        """,
+        "multi_reachability": f"""
+            WITH RECURSIVE {C},
+            r(id, source) AS (
+              SELECT CAST(s AS BIGINT), CAST(s AS BIGINT)
+              FROM (VALUES {", ".join(f"({s})" for s in MR_SOURCES)}) t(s)
+              UNION
+              SELECT e.dst, r.source FROM r JOIN edges e ON e.src = r.id
+            )
+            SELECT id, source FROM r
+        """,
+        "scc": f"""
+            WITH RECURSIVE {C},
+            reach(a, b) AS (
+              SELECT id, id FROM vertices
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+            )
+            SELECT x.a AS id, min(x.b) AS scc
+            FROM reach x JOIN reach y ON x.a = y.b AND x.b = y.a
+            GROUP BY x.a
+        """,
+        "spanning_forest_size": f"""
+            WITH RECURSIVE {C},
+            reach(id, lbl) AS (
+              SELECT id, id FROM vertices
+              UNION
+              SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id
+            ),
+            comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+            sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+            SELECT component, sz - 1 AS tree_edges FROM sizes WHERE sz > 1
+        """,
+        "approx_diameter": f"""
+            WITH RECURSIVE {C},
+            b1(id, d) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT s.dst, b1.d + 1 FROM b1 JOIN sym s ON s.src = b1.id
+              WHERE b1.d < 60
+            ),
+            d1 AS (SELECT id, min(d) AS d FROM b1 GROUP BY id),
+            far AS (SELECT id FROM d1 ORDER BY d DESC, id ASC LIMIT 1),
+            b2(id, d) AS (
+              SELECT id, 0 FROM far
+              UNION
+              SELECT s.dst, b2.d + 1 FROM b2 JOIN sym s ON s.src = b2.id
+              WHERE b2.d < 60
+            ),
+            d2 AS (SELECT id, min(d) AS d FROM b2 GROUP BY id)
+            SELECT (SELECT id FROM far) AS far_vertex,
+                   CAST((SELECT max(d) FROM d2) AS INT) AS diameter
         """,
         "extract_links": f"""
             WITH {PAGES_CTE}

@@ -1,0 +1,108 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": ...,
+   "pagerank": {...edges/sec-per-superstep detail...}}
+
+The headline metric follows BASELINE.json: edges-processed/sec per
+superstep for PageRank run to 1e-6 convergence. Two-parallelism scaling
+evidence lives in scripts/bench_scaling.py (separate JVMs per core count)
+and is recorded in BASELINE.md / SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pasgal_spark.session import get_spark  # noqa: E402
+from pasgal_spark.graph import build_graph, kernels  # noqa: E402
+from pasgal_spark.functions import dedup, similarity  # noqa: E402
+from pasgal_spark.graph.builder import load_views  # noqa: E402
+from pasgal_spark.sources.extract import extract_links, links_to_edges  # noqa: E402
+from pasgal_spark.sources.pages import synthesize_pages  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="pasgal-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    g = build_graph(spark, sf_dir, partitions=max(cpus // 2, 8))
+    m = g.edges.count()
+    g.sym.count()
+
+    timings: dict[str, float] = {}
+    pr_detail: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # -- headline: PageRank to 1e-6 convergence ---------------------------
+    supersteps = []
+    t0 = time.time()
+    kernels.pagerank(
+        g.edges, g.vertices, tol=1e-6,
+        on_superstep=lambda i, d: supersteps.append(d),
+    ).select("id").count()
+    pr_wall = time.time() - t0
+    timings["pagerank_1e6"] = round(pr_wall, 3)
+    pr_detail = {
+        "edges": m,
+        "supersteps": len(supersteps),
+        "wall_sec": round(pr_wall, 3),
+        "edges_per_sec_per_superstep": round(m * len(supersteps) / pr_wall, 1),
+        "final_delta": supersteps[-1] if supersteps else None,
+    }
+
+    # -- other kernels ------------------------------------------------------
+    timed("connected_components", lambda: kernels.connected_components(g.sym, g.vertices).select("component").distinct().count())
+    timed("label_propagation", lambda: kernels.label_propagation(g.sym, g.vertices, rounds=4).count())
+    timed("triangle_count", lambda: kernels.triangle_count(g.sym).collect())
+    timed("bfs", lambda: kernels.bfs(g.sym, 0, max_depth=30).count())
+
+    # -- web-text pipeline: synth pages -> extract -> edges ----------------
+    def _pipeline():
+        pages = synthesize_pages(spark, 50_000)
+        links_to_edges(extract_links(pages)).count()
+
+    timed("extract_pipeline_50k_pages", _pipeline)
+
+    # -- dedup + similarity -------------------------------------------------
+    load_views(spark, sf_dir, ["documents", "embeddings"])
+    c = dedup.corpus(spark, sf_dir)
+    timed("minhash_lsh_jaccard", lambda: dedup.near_dup_pipeline(c).count())
+    emb = spark.table("embeddings")
+    timed("cosine_topk", lambda: similarity.cosine_topk(emb).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                # BASELINE.json headline: edges-processed/sec per superstep,
+                # PageRank to 1e-6 convergence
+                "pagerank": pr_detail,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

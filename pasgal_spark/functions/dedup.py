@@ -21,6 +21,8 @@ from pasgal_spark.functions.textstats import portable_hash, shingles, tokens
 
 NUM_HASHES = 8
 BANDS = 4  # rows-per-band = NUM_HASHES // BANDS = 2
+MINHASH_P = 2**40       # permutation modulus (keeps a_i*h in int64)
+MINHASH_B = 981_467     # permutation offset stride
 
 # Portable corpus CTE (Spark SQL ∩ DuckDB).
 CORPUS_CTE = """
@@ -65,12 +67,18 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("tok")
     )
-    seeded = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("tok"),
+    # One md5 per shingle; the k permutations are the classic arithmetic
+    # family h_i(x) = (a_i*h(x) + b_i) mod p — 8x fewer digest computations
+    # than hashing (seed, shingle) pairs.
+    base = toks.select(
+        "doc_id", (portable_hash(F.col("tok")) % F.lit(MINHASH_P)).alias("h0")
     )
-    h = portable_hash(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok")))
+    seeded = base.select(
+        "doc_id",
+        "h0",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    )
+    h = ((F.col("seed") * 2 + 1) * F.col("h0") + F.col("seed") * F.lit(MINHASH_B)) % F.lit(MINHASH_P)
     return (
         seeded.select("doc_id", "seed", h.alias("h"))
         .groupBy("doc_id", "seed")
@@ -105,14 +113,15 @@ def lsh_bands(sigs: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES)
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
     """(a, b) near-duplicate candidate pairs sharing any LSH band bucket.
 
     The scale path: the only join is an equi-join on (band, band_hash) —
     candidate pairs never cross bucket boundaries, so cost is
-    Σ bucket_size², not n². a < b, deduped across bands.
+    Σ bucket_size², not n². a < b, deduped across bands. Pass a
+    precomputed ``sigs`` to reuse cached signatures across stages.
     """
-    bands = lsh_bands(minhash_signatures(docs))
+    bands = lsh_bands(sigs if sigs is not None else minhash_signatures(docs))
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -133,7 +142,9 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float = 0.7) ->
     Verification stage after LSH — only candidate pairs pay the set
     intersection, never the full corpus.
     """
-    t = docs.select("doc_id", F.array_distinct(shingles(F.col("text"))).alias("toks"))
+    t = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("toks")
+    ).cache()  # referenced twice (both pair sides)
     j = (
         pairs.join(t.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
         .join(t.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
@@ -145,6 +156,16 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float = 0.7) ->
         j.select("a", "b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def near_dup_pipeline(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline with intermediate caching: shingle → MinHash →
+    LSH bands → candidate pairs → Jaccard verify. The bench/production
+    entry point (pure stages above stay cache-free for oracle replay)."""
+    docs = docs.cache()
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(docs, sigs).localCheckpoint(eager=True)
+    return jaccard_verify(docs, pairs, threshold)
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:

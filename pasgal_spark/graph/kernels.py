@@ -50,19 +50,64 @@ def _truncate(df: DataFrame, it: int, every: int) -> DataFrame:
     return df
 
 
+class _StateChain:
+    """Superstep state manager: cache every generation, checkpoint periodically.
+
+    A superstep's state is referenced several times by the next plan
+    (message join, scalar aggregates, convergence diff); leaving it lazy
+    recomputes the whole chain per reference — measured 10x slowdowns at
+    3M edges. ``cache()`` registers the plan so downstream plans substitute
+    an InMemoryRelation (shallow plans, zero extra jobs); an eager
+    ``localCheckpoint`` every ``every`` generations truncates lineage and
+    lets superseded generations be unpersisted. On a cluster the
+    localCheckpoint becomes a parquet/Iceberg write
+    (pasgal_spark.plans.checkpoints).
+    """
+
+    def __init__(self, every: int = 4) -> None:
+        self.every = max(1, every)
+        self._gen = 0
+        self._live: list[DataFrame] = []
+
+    def advance(self, df: DataFrame, *, force: bool = False) -> DataFrame:
+        self._gen += 1
+        if force or self._gen % self.every == 0:
+            out = df.localCheckpoint(eager=True)
+            for c in self._live:
+                c.unpersist()
+            self._live = []
+        else:
+            out = df.cache()
+            self._live.append(out)
+        return out
+
+    def close(self) -> None:
+        for c in self._live:
+            c.unpersist()
+        self._live = []
+
+
 def salted_sum(
     df: DataFrame, key: str, value: str, out: str, buckets: int = 8
 ) -> DataFrame:
     """Two-stage sum: partial per (key, salt) then final per key.
 
-    Explicit skew taming for power-law hub keys (north_rule). The salt is a
-    deterministic hash of the *contributing* row so rows of one hot key
-    spread over ``buckets`` reducers; the reference gets the same effect
-    from per-worker local queues + atomic write_add (src/BFS/bfs.h:121-132,
-    src/utils.h:45-63).
+    Explicit skew taming for power-law hub keys. The salt spreads rows of
+    one hot key over ``buckets`` reducers; the reference gets the same
+    effect from per-worker local queues + atomic write_add
+    (src/BFS/bfs.h:121-132, src/utils.h:45-63).
+
+    MEASURED (BASELINE.md): for *algebraic* aggregates Spark's hash
+    aggregation already partial-aggregates map-side, so each reducer
+    receives at most one row per (map partition, key) — hub keys are
+    already tamed, and the salted variant's extra shuffle costs ~3x
+    (32.8s vs 15.5s for 6 PageRank supersteps on 3M edges). Use this only
+    for non-combinable aggregates (collect_list/set, exact quantiles) or
+    under aggregation modes that disable partial combine; PageRank and
+    friends default to the plain aggregate (salt_buckets=0).
     """
     partial = (
-        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key) * 31 + F.monotonically_increasing_id()), F.lit(buckets)))
+        df.withColumn("_salt", F.spark_partition_id() % buckets)
         .groupBy(key, "_salt")
         .agg(F.sum(value).alias("_psum"))
     )
@@ -80,11 +125,11 @@ def pagerank(
     iterations: int | None = None,
     tol: float | None = None,
     damping: float = 0.85,
-    # 2 supersteps per eager localCheckpoint measured fastest: deeper lazy
-    # chains blow up Catalyst compile time (the superstep plan includes two
-    # joins + a two-stage aggregate), shallower wastes a job per superstep.
-    checkpoint_every: int = 2,
-    salt_buckets: int = 8,
+    # every generation is cache()-registered (see _StateChain), so chains
+    # between eager checkpoints are shallow InMemoryRelation reads; 4
+    # balances lineage truncation against one materialize job per cycle.
+    checkpoint_every: int = 4,
+    salt_buckets: int = 0,  # 0 = plain agg (map-side combine); see salted_sum
     on_superstep: Callable[[int, float], None] | None = None,
 ) -> DataFrame:
     """PageRank with dangling-mass redistribution.
@@ -103,37 +148,54 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     state = base.withColumn("rank", F.lit(1.0 / n))
+    chain = _StateChain(checkpoint_every)
+    # Web graphs usually have dangling pages, but when a derived graph has
+    # none the whole dangling branch (scan + broadcast + crossJoin per
+    # superstep) is dead weight — check once up front.
+    has_dangling = base.filter("out_deg = 0").limit(1).count() > 0
 
     it = 0
     while True:
-        # Dangling mass stays a (broadcast) 1-row relation — no separate
-        # driver action per superstep; it joins into the same lazy plan.
-        dangling = state.filter("out_deg = 0").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
         contribs = (
             edges.join(state, edges.src == state.id)
             .select(edges.dst.alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
         )
-        sums = salted_sum(contribs, "id", "c", "contrib", salt_buckets)
+        if salt_buckets:
+            sums = salted_sum(contribs, "id", "c", "contrib", salt_buckets)
+        else:
+            sums = contribs.groupBy("id").agg(F.sum("c").alias("contrib"))
         # dangling mass is also damped: r' = (1-d)/n + d*(contrib + dangling/n)
-        new_rank = (
-            F.lit((1.0 - damping) / n)
-            + F.lit(damping)
-            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
-        )
-        new_state = (
-            base.join(sums, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select("id", "out_deg", new_rank.alias("rank"))
-        )
+        if has_dangling:
+            # Dangling mass stays a (broadcast) 1-row relation — no separate
+            # driver action per superstep; it joins into the same lazy plan.
+            dangling = state.filter("out_deg = 0").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            new_rank = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
+            )
+            new_state = (
+                base.join(sums, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select("id", "out_deg", new_rank.alias("rank"))
+            )
+        else:
+            new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
+                F.col("contrib"), F.lit(0.0)
+            )
+            new_state = base.join(sums, "id", "left").select(
+                "id", "out_deg", new_rank.alias("rank")
+            )
         if tol is not None:
             # Convergence mode touches the state every superstep anyway —
-            # checkpoint each iteration so the delta job reads materialized
+            # materialize each iteration so the delta job reads cached
             # blocks instead of recomputing the chain.
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = chain.advance(new_state, force=True)
         else:
-            new_state = _truncate(new_state, it, checkpoint_every)
+            last = iterations is not None and it + 1 >= iterations
+            new_state = chain.advance(new_state, force=last)
 
         it += 1
         if tol is not None:
@@ -241,7 +303,7 @@ def label_propagation(
     vertices: DataFrame,
     *,
     rounds: int = 5,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Synchronous min-label LPA for a fixed number of rounds → (id, label).
 
@@ -251,6 +313,7 @@ def label_propagation(
     k-hop closed neighborhood (the oracle-checkable invariant).
     """
     labels = vertices.select("id", vertices.id.alias("label"))
+    chain = _StateChain(checkpoint_every)
     for it in range(rounds):
         msgs = (
             sym.join(labels, sym.src == labels.id)
@@ -261,7 +324,7 @@ def label_propagation(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        labels = _truncate(labels, it, checkpoint_every)
+        labels = chain.advance(labels, force=(it == rounds - 1))
     return labels
 
 

@@ -1,0 +1,91 @@
+"""Directed kernels (reachability / multi-reach / SCC / spanning forest)
+and the Arrow CSR-block PageRank variant."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pasgal_spark.graph import directed, kernels
+from pasgal_spark.graph.arrow_kernels import pagerank_arrow
+from tests.conftest import edges_df, vertices_df
+from tests.oracles import pagerank_oracle
+
+# digraph: cycle {0,1,2}, cycle {3,4}, chain 2->3, 5 isolated, 6->0
+DI_EDGES = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (2, 3), (6, 0)]
+DI_N = 7
+
+
+def _reach_oracle(edges, src):
+    g = defaultdict(set)
+    for u, v in edges:
+        g[u].add(v)
+    seen = {src}
+    stack = [src]
+    while stack:
+        u = stack.pop()
+        for v in g[u]:
+            if v not in seen:
+                seen.add(v)
+                stack.append(v)
+    return seen
+
+
+def _scc_oracle(n, edges):
+    fwd = {u: _reach_oracle(edges, u) for u in range(n)}
+    return {
+        u: min(v for v in range(n) if u in fwd[v] and v in fwd[u]) for u in range(n)
+    }
+
+
+def test_reachability(spark):
+    edges = edges_df(spark, DI_EDGES)
+    got = {r["id"] for r in directed.reachability(edges, 0).collect()}
+    assert got == _reach_oracle(DI_EDGES, 0)
+    got6 = {r["id"] for r in directed.reachability(edges, 6).collect()}
+    assert got6 == _reach_oracle(DI_EDGES, 6)
+
+
+def test_multi_reachability(spark):
+    edges = edges_df(spark, DI_EDGES)
+    got = {(r["id"], r["source"]) for r in directed.multi_reachability(edges, [0, 6]).collect()}
+    exp = {(v, s) for s in (0, 6) for v in _reach_oracle(DI_EDGES, s)}
+    assert got == exp
+
+
+def test_scc_micrograph(spark):
+    edges = edges_df(spark, DI_EDGES)
+    verts = vertices_df(spark, range(DI_N))
+    got = dict(directed.scc(edges, verts).collect())
+    assert got == _scc_oracle(DI_N, DI_EDGES)
+
+
+def test_spanning_forest_properties(spark):
+    sym_pairs = [(0, 1), (1, 2), (0, 2), (3, 4)]
+    sym = edges_df(spark, sorted({(u, v) for a, b in sym_pairs for u, v in [(a, b), (b, a)]}))
+    verts = vertices_df(spark, range(6))  # vertex 5 isolated
+    cc = kernels.connected_components(sym, verts)
+    forest = directed.spanning_forest(sym, verts, cc).collect()
+    by_comp = defaultdict(list)
+    for r in forest:
+        by_comp[r["component"]].append((r["child"], r["parent"]))
+    assert sorted(by_comp) == [0, 3]
+    assert len(by_comp[0]) == 2  # 3 vertices -> 2 tree edges
+    assert len(by_comp[3]) == 1
+    sym_set = {(u, v) for u, v in sym_pairs} | {(v, u) for u, v in sym_pairs}
+    for comp, tes in by_comp.items():
+        children = {c for c, _ in tes}
+        assert comp not in children  # root has no parent
+        for c, p in tes:
+            assert (c, p) in sym_set
+
+
+def test_pagerank_arrow_matches_dataframe_kernel(spark):
+    edges = edges_df(spark, DI_EDGES)
+    verts = vertices_df(spark, range(DI_N))
+    a = dict(pagerank_arrow(edges, verts, iterations=12).collect())
+    b = dict(kernels.pagerank(edges, verts, iterations=12).collect())
+    exp = pagerank_oracle(DI_N, DI_EDGES, iters=12)
+    for u in range(DI_N):
+        assert math.isclose(a[u], b[u], abs_tol=1e-9)
+        assert math.isclose(a[u], exp[u], abs_tol=1e-9)
