@@ -1,19 +1,31 @@
 """Two-parallelism scaling benchmark (BASELINE.json north rule).
 
 No real cluster exists in this sandbox, so the N→4N executor scaling
-criterion is evidenced by running the SAME PageRank job on the SAME
-deterministic input at two local parallelism levels (fresh JVM each, so
-nothing is shared):
+criterion is evidenced by running the SAME jobs on the SAME deterministic
+input at two local parallelism levels (fresh JVM per level):
 
-    efficiency = throughput_4N / (4 * throughput_N)        target >= 0.8
+    efficiency = throughput_4N / ((4N/N) * throughput_N)      target >= 0.8
 
-The input is a hash-synthesized multigraph (deterministic — identical bytes
-at any parallelism) big enough that per-superstep compute dominates fixed
-job overhead. Results are written to SCALING.json and summarized in
-BASELINE.md.
+Two jobs are measured:
+
+1. ``pagerank``  — the headline metric (edges-processed/sec per superstep).
+   CAVEAT recorded in BASELINE.md: this sandbox VM's JVM-side parallel
+   scaling is pathological — pure-Python multiprocessing scales ~25x at 32
+   procs, but JVM shuffle/aggregation wall-time is nearly core-count
+   INDEPENDENT (and degrades above 8 threads; a sha2 JVM microbenchmark
+   runs *slower* at 32 threads than 8). PageRank supersteps are
+   shuffle-bound, so their measured efficiency reflects the substrate, not
+   the plan shape (the superstep plan itself holds: no edge re-shuffle, no
+   edge re-sort, map-side combine).
+2. ``extract``   — pages→links→edges pipeline, whose hot path runs in
+   Python worker *processes* (mapInPandas); this shows the engine scales
+   when the substrate does.
+
+Trials are repeated; the min is scored (sandbox wall-times carry spikes of
+2-5x from unrelated VM noise; all trials are reported).
 
 Usage:
-    python scripts/bench_scaling.py                 # parent: runs 8 and 32
+    python scripts/bench_scaling.py                 # parent: runs both levels
     python scripts/bench_scaling.py --child <cores> # one measured run
 """
 
@@ -25,12 +37,14 @@ import subprocess
 import sys
 import time
 
-N_VERTS = 1_000_000
-M_EDGES = 60_000_000   # incl. one spine edge per vertex (no dangling vertices)
-ITERS = 3
-TRIALS = 2  # sandbox wall-times are noisy; report all trials, score the min
 CORES = (2, 8)  # N and 4N; >8 JVM threads measured pathological on this VM
-SHUFFLE_PARTITIONS = 32  # identical in both runs: cores are the only variable
+TRIALS = 4
+SHUFFLE_PARTITIONS = 32  # identical at both levels: cores are the only variable
+
+PR_N = 500_000
+PR_M = 10_000_000
+PR_ITERS = 3
+EX_PAGES = 1_000_000
 
 
 def child(cores: int) -> None:
@@ -39,6 +53,8 @@ def child(cores: int) -> None:
 
     from pasgal_spark.session import get_spark
     from pasgal_spark.graph import kernels
+    from pasgal_spark.sources.pages import synthesize_pages
+    from pasgal_spark.sources.extract import extract_links, links_to_edges
 
     spark = get_spark(
         app_name=f"scaling-{cores}",
@@ -46,17 +62,18 @@ def child(cores: int) -> None:
         shuffle_partitions=SHUFFLE_PARTITIONS,
         extra_conf={"spark.driver.memory": "16g"},
     )
-    rnd = spark.range(M_EDGES - N_VERTS).select(
-        (F.abs(F.xxhash64("id", F.lit(1))) % N_VERTS).alias("src"),
+
+    # --- job 1: PageRank supersteps -------------------------------------
+    rnd = spark.range(PR_M - PR_N).select(
+        (F.abs(F.xxhash64("id", F.lit(1))) % PR_N).alias("src"),
         F.when(F.col("id") % 20 == 0, F.lit(0))  # 5% hub skew
-        .otherwise(F.abs(F.xxhash64("id", F.lit(2))) % N_VERTS)
+        .otherwise(F.abs(F.xxhash64("id", F.lit(2))) % PR_N)
         .alias("dst"),
     )
     # spine i -> i+1 guarantees out-degree >= 1 everywhere: the dangling
-    # branch (extra scan + broadcast + crossJoin per superstep) vanishes,
-    # cutting fixed per-superstep overhead for the scaling measurement.
-    spine = spark.range(N_VERTS).select(
-        F.col("id").alias("src"), ((F.col("id") + 1) % N_VERTS).alias("dst")
+    # branch (extra scan + broadcast + crossJoin per superstep) vanishes.
+    spine = spark.range(PR_N).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % PR_N).alias("dst")
     )
     edges = (
         rnd.unionByName(spine)
@@ -66,26 +83,35 @@ def child(cores: int) -> None:
         .cache()
     )
     m = edges.count()
-    vertices = spark.range(N_VERTS).withColumnRenamed("id", "id").cache()
+    vertices = spark.range(PR_N).cache()
     vertices.count()
+    kernels.pagerank(edges, vertices, iterations=1).count()  # warmup
 
-    # warmup superstep (JIT, codegen, shuffle services)
-    kernels.pagerank(edges, vertices, iterations=1).count()
-
-    walls = []
+    pr_walls = []
     for _ in range(TRIALS):
         t0 = time.time()
-        kernels.pagerank(edges, vertices, iterations=ITERS).select("id").count()
-        walls.append(round(time.time() - t0, 2))
+        kernels.pagerank(edges, vertices, iterations=PR_ITERS).select("id").count()
+        pr_walls.append(round(time.time() - t0, 2))
+
+    # --- job 2: extraction pipeline --------------------------------------
+    pages = synthesize_pages(spark, EX_PAGES).repartition(SHUFFLE_PARTITIONS).cache()
+    pages.count()
+    links_to_edges(extract_links(pages)).count()  # warmup
+
+    ex_walls = []
+    for _ in range(TRIALS):
+        t0 = time.time()
+        n_links = links_to_edges(extract_links(pages)).count()
+        ex_walls.append(round(time.time() - t0, 2))
 
     print(
         json.dumps(
             {
                 "cores": cores,
-                "wall_sec": min(walls),
-                "trials": walls,
-                "m": m,
-                "iters": ITERS,
+                "pagerank": {"wall_sec": min(pr_walls), "trials": pr_walls,
+                             "m": m, "iters": PR_ITERS},
+                "extract": {"wall_sec": min(ex_walls), "trials": ex_walls,
+                            "pages": EX_PAGES, "links": n_links},
             }
         )
     )
@@ -106,19 +132,31 @@ def parent() -> None:
         print(line)
 
     lo, hi = CORES
-    thr = {c: r["m"] * r["iters"] / r["wall_sec"] for c, r in results.items()}
-    eff = thr[hi] / ((hi / lo) * thr[lo])
+    ratio = hi / lo
+
+    def eff(job: str, work_key: str, iters: int = 1) -> dict:
+        thr = {
+            c: results[c][job][work_key] * iters / results[c][job]["wall_sec"]
+            for c in CORES
+        }
+        return {
+            "throughput_per_sec": {str(c): round(t, 1) for c, t in thr.items()},
+            "efficiency_N_to_4N": round(thr[hi] / (ratio * thr[lo]), 3),
+        }
+
     summary = {
-        "job": f"PageRank {ITERS} fixed supersteps, hash-synthesized multigraph "
-        f"n={N_VERTS} m~{results[lo]['m']} (5% hub skew + spine), "
+        "protocol": f"same job, same input, local[{lo}] vs local[{hi}], "
+        f"fresh JVM per level, min of {TRIALS} trials, "
         f"shuffle_partitions={SHUFFLE_PARTITIONS}",
         "runs": results,
-        "throughput_edges_per_sec": {str(c): round(t, 1) for c, t in thr.items()},
-        "scaling_efficiency_N_to_4N": round(eff, 3),
-        "cores": list(CORES),
+        "pagerank_supersteps": eff("pagerank", "m", PR_ITERS),
+        "extract_pipeline": eff("extract", "pages"),
         "target": 0.8,
+        "substrate_caveat": "sandbox VM: JVM thread scaling pathological "
+        "(python procs 25x @32, JVM sha2 negative); see BASELINE.md",
     }
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.json"), "w") as f:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALING.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
 
