@@ -409,6 +409,52 @@ def sssp(
     return dist
 
 
+def sssp_delta_stepping(
+    wedges: DataFrame,
+    source: int = 0,
+    *,
+    delta: int = 8,
+    cap: int = 40,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """Δ-stepping SSSP: relax in distance buckets of width ``delta``.
+
+    The reference's template-method SSSP with the Δ threshold rule
+    (src/SSSP/sssp.h:292-308: threshold advances by a fixed Δ). Per round,
+    only tentative distances under the current threshold relax — light
+    edges inside a bucket settle before the threshold advances, bounding
+    wasted re-relaxations versus plain Bellman-Ford on weighted graphs.
+    Results are identical to ``sssp`` (same cap semantics); only the
+    physical superstep schedule differs.
+    """
+    spark = wedges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "id long, dist long").localCheckpoint(
+        eager=True
+    )
+    threshold = delta
+    prev_sig = (1, 0)  # signature of the initial single-row state
+    for _ in range(max_iterations):
+        # relax only the active bucket (dist < threshold)
+        frontier = dist.filter(F.col("dist") < threshold)
+        relaxed = (
+            wedges.join(frontier, wedges.src == frontier.id)
+            .select(wedges.dst.alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .filter(F.col("dist") <= cap)
+        )
+        new = (
+            dist.unionByName(relaxed).groupBy("id").agg(F.min("dist").alias("dist"))
+        ).localCheckpoint(eager=True)
+        sig = tuple(new.agg(F.count(F.lit(1)), F.sum("dist")).first())
+        bucket_done = sig == prev_sig
+        prev_sig = sig
+        dist = new
+        if bucket_done:
+            if threshold > cap:
+                break
+            threshold += delta
+    return dist
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting (target kernel; no reference impl — SURVEY.md §2D)
 # ---------------------------------------------------------------------------
