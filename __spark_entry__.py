@@ -111,6 +111,11 @@ def _q_sssp_delta(spark: SparkSession, sf: str) -> DataFrame:
     return kernels.sssp_delta_stepping(g.wedges, source=0, delta=8, cap=SSSP_CAP)
 
 
+def _q_sssp_rho(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    return kernels.sssp_rho_stepping(g.wedges, source=0, rho=256, cap=SSSP_CAP)
+
+
 def _q_triangles(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
     return kernels.triangle_count(g.sym)
@@ -281,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": _q_bfs,
         "sssp": _q_sssp,
         "sssp_delta_stepping": _q_sssp_delta,
+        "sssp_rho_stepping": _q_sssp_rho,
         "triangle_count": _q_triangles,
         "symmetrize": _q_symmetrize,
         "in_degree": _q_in_degree,
@@ -645,6 +651,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, min(d) AS dist FROM r GROUP BY id
         """,
         "sssp_delta_stepping": f"""
+            WITH RECURSIVE {C},
+            r(id, d) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT w.dst, r.d + w.w FROM r JOIN wedges w ON w.src = r.id
+              WHERE r.d + w.w <= {SSSP_CAP}
+            )
+            SELECT id, min(d) AS dist FROM r GROUP BY id
+        """,
+        "sssp_rho_stepping": f"""
             WITH RECURSIVE {C},
             r(id, d) AS (
               SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)

@@ -455,6 +455,66 @@ def sssp_delta_stepping(
     return dist
 
 
+def sssp_rho_stepping(
+    wedges: DataFrame,
+    source: int = 0,
+    *,
+    rho: int = 64,
+    cap: int = 40,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """ρ-stepping SSSP: per-round threshold = ρ-th smallest unsettled distance.
+
+    The reference's template-method SSSP with the ρ threshold rule
+    (src/SSSP/sssp.h:240-290): each outer round picks the ρ-th smallest
+    tentative distance among unsettled vertices as the relaxation threshold,
+    then relaxes the sub-threshold frontier to a fixpoint before advancing.
+    The reference estimates the quantile from 1024 samples
+    (src/SSSP/sssp.h:267-284); we compute it exactly and deterministically
+    with a top-K (`orderBy(dist).limit(rho)` — TakeOrdered, no full sort),
+    per the determinism stance in SURVEY.md §4.4. Results are identical to
+    ``sssp`` / ``sssp_delta_stepping`` (same cap semantics); only the
+    physical superstep schedule differs, so the same SQL oracle applies.
+    """
+    spark = wedges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "id long, dist long").localCheckpoint(
+        eager=True
+    )
+    settled_upto = 0  # every dist < settled_upto is final (positive weights)
+    prev_sig = (1, 0)  # signature of the initial single-row state
+    budget = max_iterations  # bounds total supersteps across all buckets
+    while budget > 0:
+        unsettled = dist.filter(F.col("dist") >= settled_upto)
+        top = unsettled.orderBy("dist").limit(rho).agg(F.max("dist")).first()[0]
+        if top is None:
+            break
+        threshold = int(top) + 1  # relax everything <= the ρ-th smallest
+        # inner fixpoint on the active bucket (dist < threshold)
+        while budget > 0:
+            budget -= 1
+            frontier = dist.filter(F.col("dist") < threshold)
+            relaxed = (
+                wedges.join(frontier, wedges.src == frontier.id)
+                .select(
+                    wedges.dst.alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+                )
+                .filter(F.col("dist") <= cap)
+            )
+            new = (
+                dist.unionByName(relaxed).groupBy("id").agg(F.min("dist").alias("dist"))
+            ).localCheckpoint(eager=True)
+            sig = tuple(new.agg(F.count(F.lit(1)), F.sum("dist")).first())
+            bucket_done = sig == prev_sig
+            prev_sig = sig
+            dist = new
+            if bucket_done:
+                break
+        settled_upto = threshold
+        if settled_upto > cap:
+            break
+    return dist
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting (target kernel; no reference impl — SURVEY.md §2D)
 # ---------------------------------------------------------------------------

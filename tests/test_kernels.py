@@ -90,6 +90,19 @@ def test_sssp_vs_dijkstra(spark):
     assert got == dijkstra_oracle(wpairs, 0, cap=40)
 
 
+def test_sssp_rho_stepping_matches_dijkstra(spark):
+    wpairs = [(u, v, (u * 31 + v * 17) % 8 + 1) for u, v in _sym_pairs(TT_EDGES)]
+    wedges = spark.createDataFrame(wpairs, "src long, dst long, w long")
+    exp = dijkstra_oracle(wpairs, 0, cap=40)
+    for rho in (1, 2, 64):  # tiny ρ forces many buckets; big ρ ≈ Bellman-Ford
+        got = dict(
+            kernels.sssp_rho_stepping(wedges, source=0, rho=rho, cap=40)
+            .select("id", "dist")
+            .collect()
+        )
+        assert got == exp
+
+
 def test_pagerank_allclose_vs_power_iteration(spark):
     edges = edges_df(spark, TT_EDGES)
     verts = vertices_df(spark, range(TT_N))
