@@ -33,7 +33,11 @@ _GRAPH_CACHE: dict[str, LinkGraph] = {}
 def _graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     g = _GRAPH_CACHE.get(sf_dir)
     if g is None or g.edges.sparkSession is not spark:
-        g = build_graph(spark, sf_dir, partitions=None)
+        # Range-partition the edge tables by src at ingest so every superstep
+        # join reuses the cached layout instead of re-exchanging the edge side
+        # (the ingest layout documented in builder.build_graph).
+        parts = max(spark.sparkContext.defaultParallelism // 2, 8)
+        g = build_graph(spark, sf_dir, partitions=parts)
         _GRAPH_CACHE[sf_dir] = g
     return g
 

@@ -14,10 +14,14 @@ The ``corpus`` view used by the driver queries simulates a re-crawl: the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pasgal_spark.functions.textstats import portable_hash, shingles, tokens
+from pasgal_spark.functions.textstats import (
+    portable_hash,
+    shingles_from_tokens,
+    tokens,
+)
 
 NUM_HASHES = 8
 BANDS = 4  # rows-per-band = NUM_HASHES // BANDS = 2
@@ -46,55 +50,73 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """(doc_id, keeper, is_dup): group by content hash, keep min doc_id.
 
-    The 100 TB plan: one hash-partitioned shuffle on md5(text); Spark's
-    partial aggregation handles the (rare) giant duplicate clusters.
+    The 100 TB plan: the text column is reduced to a 16-byte digest *at the
+    scan* — only (doc_id, hash) rows ever shuffle. The keeper map is a
+    map-side-combined groupBy (one row per distinct content), joined back to
+    the digest projection; full documents never leave their input partition
+    (a window over md5(text) would shuffle + sort the entire payload).
     """
-    w = Window.partitionBy(F.md5("text"))
-    return docs.select(
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    keepers = h.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return h.join(keepers, "h").select(
         "doc_id",
-        F.min("doc_id").over(w).alias("keeper"),
-    ).withColumn("is_dup", (F.col("doc_id") != F.col("keeper")).cast("boolean"))
-
-
-def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, seed, minhash): MinHash over distinct 3-token shingles.
-
-    One row per (doc, seed); signature hash H(seed:shingle) is the portable
-    md5-based hash, min-combined per seed — ``write_min`` as aggregation
-    (reference src/utils.h:65-81 idiom). Shingles (not unigrams) so the
-    signature discriminates word *order*, which a web corpus needs.
-    """
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("tok")
+        "keeper",
+        (F.col("doc_id") != F.col("keeper")).cast("boolean").alias("is_dup"),
     )
-    # One md5 per shingle; the k permutations are the classic arithmetic
-    # family h_i(x) = (a_i*h(x) + b_i) mod p — 8x fewer digest computations
-    # than hashing (seed, shingle) pairs.
+
+
+def minhash_pivot(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, m0..m{k-1}): MinHash signature, one row per document.
+
+    One md5 per distinct 3-token shingle; the k permutations are the classic
+    arithmetic family h_i(x) = (a_i*h(x) + b_i) mod p, and all k mins are
+    computed in a SINGLE map-side-combined aggregate over the un-exploded
+    shingle rows — ``write_min`` as aggregation (reference src/utils.h:65-81
+    idiom) without the k-fold row blowup of a per-seed explode.
+    """
+    # Two-phase tokenize→shingle: the token array materializes once per row
+    # (multi-referenced alias, so Catalyst can't inline the tokenizer into
+    # every element_at of the shingle window — see shingles_from_tokens).
+    toks = (
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_from_tokens(F.col("t")))).alias("tok"),
+        )
+    )
     base = toks.select(
         "doc_id", (portable_hash(F.col("tok")) % F.lit(MINHASH_P)).alias("h0")
     )
-    seeded = base.select(
-        "doc_id",
-        "h0",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    perm = lambda k: (  # noqa: E731
+        (F.lit(k * 2 + 1) * F.col("h0") + F.lit(k * MINHASH_B)) % F.lit(MINHASH_P)
     )
-    h = ((F.col("seed") * 2 + 1) * F.col("h0") + F.col("seed") * F.lit(MINHASH_B)) % F.lit(MINHASH_P)
-    return (
-        seeded.select("doc_id", "seed", h.alias("h"))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    return base.groupBy("doc_id").agg(
+        *[F.min(perm(k)).alias(f"m{k}") for k in range(num_hashes)]
     )
 
 
-def lsh_bands(sigs: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, band, band_hash): band the signature for bucket joins."""
-    rpb = num_hashes // bands
-    pivoted = sigs.groupBy("doc_id").agg(
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, seed, minhash): long-format signature view of the pivot.
+
+    Shingles (not unigrams) so the signature discriminates word *order*,
+    which a web corpus needs. The explode happens AFTER aggregation — k rows
+    per document, not per shingle.
+    """
+    piv = minhash_pivot(docs, num_hashes)
+    pairs = F.array(
         *[
-            F.min(F.when(F.col("seed") == k, F.col("minhash"))).alias(f"m{k}")
+            F.struct(F.lit(k).cast("int").alias("seed"), F.col(f"m{k}").alias("minhash"))
             for k in range(num_hashes)
         ]
     )
+    return piv.select("doc_id", F.explode(pairs).alias("s")).select(
+        "doc_id", F.col("s.seed").alias("seed"), F.col("s.minhash").alias("minhash")
+    )
+
+
+def lsh_bands(piv: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, band, band_hash): band the pivoted signature for bucket joins."""
+    rpb = num_hashes // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -108,20 +130,20 @@ def lsh_bands(sigs: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES)
             for b in range(bands)
         ]
     )
-    return pivoted.select(
+    return piv.select(
         "doc_id", F.explode(band_structs).alias("bh")
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(docs: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, piv: DataFrame | None = None) -> DataFrame:
     """(a, b) near-duplicate candidate pairs sharing any LSH band bucket.
 
     The scale path: the only join is an equi-join on (band, band_hash) —
     candidate pairs never cross bucket boundaries, so cost is
     Σ bucket_size², not n². a < b, deduped across bands. Pass a
-    precomputed ``sigs`` to reuse cached signatures across stages.
+    precomputed ``piv`` (minhash_pivot) to reuse cached signatures.
     """
-    bands = lsh_bands(sigs if sigs is not None else minhash_signatures(docs))
+    bands = lsh_bands(piv if piv is not None else minhash_pivot(docs))
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -142,20 +164,37 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float = 0.7) ->
     Verification stage after LSH — only candidate pairs pay the set
     intersection, never the full corpus.
     """
-    t = docs.select(
-        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("toks")
-    ).cache()  # referenced twice (both pair sides)
-    j = (
-        pairs.join(t.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
-        .join(t.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
+    # Shingle sets are computed only for documents that appear in a pair:
+    # semi-join first so the (rare) candidates pay the tokenize+hash cost,
+    # never the full corpus.
+    members = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
     )
-    inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.size("ta") + F.size("tb") - inter
-    jac = inter / union
-    return (
-        j.select("a", "b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    t = (
+        docs.join(members, "doc_id", "left_semi")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.array_distinct(shingles_from_tokens(F.col("t"))).alias("toks"))
+        .cache()  # referenced twice (both pair sides)
     )
+    try:
+        j = (
+            pairs.join(t.withColumnRenamed("doc_id", "a").withColumnRenamed("toks", "ta"), "a")
+            .join(t.withColumnRenamed("doc_id", "b").withColumnRenamed("toks", "tb"), "b")
+        )
+        inter = F.size(F.array_intersect("ta", "tb"))
+        union = F.size("ta") + F.size("tb") - inter
+        jac = inter / union
+        out = (
+            j.select("a", "b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # Verified pairs ≪ corpus: materialize so the shingle cache can be
+        # released before returning (no live-cache accumulation across calls).
+        return out.localCheckpoint(eager=True)
+    finally:
+        t.unpersist()
 
 
 def near_dup_pipeline(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
@@ -163,9 +202,12 @@ def near_dup_pipeline(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     LSH bands → candidate pairs → Jaccard verify. The bench/production
     entry point (pure stages above stay cache-free for oracle replay)."""
     docs = docs.cache()
-    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(docs, sigs).localCheckpoint(eager=True)
-    return jaccard_verify(docs, pairs, threshold)
+    try:
+        piv = minhash_pivot(docs).localCheckpoint(eager=True)
+        pairs = lsh_candidate_pairs(docs, piv).localCheckpoint(eager=True)
+        return jaccard_verify(docs, pairs, threshold)
+    finally:
+        docs.unpersist()
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:

@@ -29,13 +29,16 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != F.lit(""))
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """k-token shingles (space-joined windows) — the dedup unit for MinHash.
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """k-token shingles over an ALREADY-MATERIALIZED token array column.
 
-    Pure higher-order-function expression; empty array when fewer than k
-    tokens. DuckDB twin uses 1-based list indexing with range().
+    ``t`` must be a plain attribute (e.g. the output of a prior projection
+    ``.select(tokens(col).alias("t"))``): the transform lambda references it
+    ~3x per shingle position, and Catalyst inlines subexpressions into each
+    reference — handing it the raw ``tokens(text)`` expression re-runs the
+    regex tokenizer O(k·n_tokens) times per row (measured 5x the whole
+    pipeline cost at sf0.1).
     """
-    t = tokens(col)
     n = F.size(t)
     win = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -44,6 +47,17 @@ def shingles(col: Column, k: int = 3) -> Column:
         ),
     )
     return F.when(n >= k, win).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-token shingles (space-joined windows) — the dedup unit for MinHash.
+
+    Single-expression convenience form; empty array when fewer than k
+    tokens. DuckDB twin uses 1-based list indexing with range().
+    HOT PATHS should tokenize in a separate projection and call
+    ``shingles_from_tokens`` instead (see its docstring).
+    """
+    return shingles_from_tokens(tokens(col), k)
 
 
 def portable_hash(col: Column) -> Column:

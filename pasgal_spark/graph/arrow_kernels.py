@@ -39,13 +39,17 @@ def _partial_combine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return
     i = np.concatenate(ids)
     v = np.concatenate(vals)
+    # Arrow may hand us only empty batches; guard before indexing offsets
+    # (offsets=[0,0] would index position 0 of a size-0 array).
+    if not len(i):
+        return
     # CSR pack: sort by key, find segment offsets, segment-sum
     order = np.argsort(i, kind="stable")
     i, v = i[order], v[order]
     boundaries = np.flatnonzero(np.diff(i)) + 1
     offsets = np.concatenate(([0], boundaries, [len(i)]))
     keys = i[offsets[:-1]]
-    sums = np.add.reduceat(v, offsets[:-1]) if len(i) else np.array([])
+    sums = np.add.reduceat(v, offsets[:-1])
     yield pd.DataFrame({"id": keys, "contrib": sums})
 
 

@@ -124,6 +124,9 @@ def build_graph(
         edges.cache()
         sym.cache()
         vertices.cache()
+        # wedges feeds every SSSP superstep's relax join — uncached it
+        # re-derives from the orders parquet (scan+union+distinct) per step.
+        wedges.cache()
     return LinkGraph(edges=edges, sym=sym, vertices=vertices, wedges=wedges)
 
 

@@ -164,6 +164,11 @@ def pagerank(
             sums = salted_sum(contribs, "id", "c", "contrib", salt_buckets)
         else:
             sums = contribs.groupBy("id").agg(F.sum("c").alias("contrib"))
+        # The superstep rebuilds every vertex row anyway, so join against the
+        # *previous state* (not the static base) and carry the old rank as a
+        # column — the convergence delta then costs one aggregate over the
+        # new state instead of a second O(|V|) join-shuffle per superstep.
+        prev = state.select("id", "out_deg", F.col("rank").alias("prev_rank"))
         # dangling mass is also damped: r' = (1-d)/n + d*(contrib + dangling/n)
         if has_dangling:
             # Dangling mass stays a (broadcast) 1-row relation — no separate
@@ -177,16 +182,16 @@ def pagerank(
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
             )
             new_state = (
-                base.join(sums, "id", "left")
+                prev.join(sums, "id", "left")
                 .crossJoin(F.broadcast(dangling))
-                .select("id", "out_deg", new_rank.alias("rank"))
+                .select("id", "out_deg", new_rank.alias("rank"), "prev_rank")
             )
         else:
             new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * F.coalesce(
                 F.col("contrib"), F.lit(0.0)
             )
-            new_state = base.join(sums, "id", "left").select(
-                "id", "out_deg", new_rank.alias("rank")
+            new_state = prev.join(sums, "id", "left").select(
+                "id", "out_deg", new_rank.alias("rank"), "prev_rank"
             )
         if tol is not None:
             # Convergence mode touches the state every superstep anyway —
@@ -199,14 +204,12 @@ def pagerank(
 
         it += 1
         if tol is not None:
-            # One aggregate job per superstep: the convergence metric the
-            # north_rule records per iteration anyway.
-            delta = (
-                new_state.alias("n")
-                .join(state.alias("o"), "id")
-                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
-                .first()[0]
-            )
+            # One aggregate job per superstep over the already-materialized
+            # state: the convergence metric the north_rule records per
+            # iteration anyway. No join — prev_rank rode along.
+            delta = new_state.agg(
+                F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")
+            ).first()[0]
             if on_superstep:
                 on_superstep(it, delta)
             state = new_state
@@ -219,7 +222,9 @@ def pagerank(
             if it >= iterations:
                 break
 
-    return state.select("id", "rank")
+    out = state.select("id", "rank")
+    chain.close()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -538,19 +543,24 @@ def triangle_count(sym: DataFrame) -> DataFrame:
         .select("src", "dst")
     )
     e.cache()
-    wedge = (
-        e.alias("a")
-        .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
-        .select(F.col("a.src").alias("x"), F.col("a.dst").alias("y"), F.col("b.dst").alias("z"))
-    )
-    tri = (
-        wedge.join(
-            e.alias("c"),
-            (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst")),
+    try:
+        wedge = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("x"), F.col("a.dst").alias("y"), F.col("b.dst").alias("z"))
         )
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    return tri
+        tri = (
+            wedge.join(
+                e.alias("c"),
+                (F.col("x") == F.col("c.src")) & (F.col("z") == F.col("c.dst")),
+            )
+            .agg(F.count(F.lit(1)).alias("triangles"))
+        )
+        # 1-row result: materialize so the oriented-edge cache can be released
+        # before returning (repeated calls must not accumulate live caches).
+        return tri.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -109,6 +109,9 @@ class CheckpointedPageRank:
     # -- superstep ----------------------------------------------------------
 
     def _superstep(self, state: DataFrame) -> DataFrame:
+        """One superstep; the result carries ``prev_rank`` so the convergence
+        delta is a single aggregate over the new state (no second O(|V|)
+        join-shuffle per superstep)."""
         dangling = state.filter("out_deg = 0").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
@@ -128,10 +131,11 @@ class CheckpointedPageRank:
             + F.lit(self.damping)
             * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / F.lit(float(self.n)))
         )
+        prev = state.select("id", "out_deg", F.col("rank").alias("prev_rank"))
         return (
-            self.base.join(sums, "id", "left")
+            prev.join(sums, "id", "left")
             .crossJoin(F.broadcast(dangling))
-            .select("id", "out_deg", new_rank.alias("rank"))
+            .select("id", "out_deg", new_rank.alias("rank"), "prev_rank")
         )
 
     def _state_path(self, superstep: int) -> str:
@@ -155,18 +159,34 @@ class CheckpointedPageRank:
             state = self.base.withColumn("rank", F.lit(1.0 / self.n))
             it = 0
 
+        # Supersteps recomputed between the last checkpoint and a crash point
+        # were already metrics-recorded by the previous attempt — skip
+        # re-recording them so (run_id, superstep) rows stay unique and
+        # lineage sums aren't double-counted on resume.
+        recorded_upto = 0
+        metrics_path = os.path.join(self.workdir, "metrics")
+        if manifest is not None and os.path.exists(metrics_path):
+            row = (
+                self.spark.read.parquet(metrics_path)
+                .filter(F.col("run_id") == self.run_id)
+                .agg(F.max("superstep"))
+                .first()
+            )
+            recorded_upto = row[0] or 0
+
         while it < max_supersteps:
             t0 = time.time()
             new_state = self._superstep(state).localCheckpoint(eager=True)
-            delta = (
-                new_state.alias("n")
-                .join(state.alias("o"), "id")
-                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                .first()[0]
-            )
+            # prev_rank rides along in the superstep output: the delta is one
+            # aggregate over cached blocks, not a join against the old state.
+            delta = new_state.agg(
+                F.max(F.abs(F.col("rank") - F.col("prev_rank")))
+            ).first()[0]
             it += 1
             wall_ms = (time.time() - t0) * 1000
-            self._record_metrics(it, new_state, delta, wall_ms)
+            if it > recorded_upto:
+                self._record_metrics(it, new_state, delta, wall_ms)
+            new_state = new_state.select("id", "out_deg", "rank")
             if it % self.checkpoint_every == 0 or delta < tol:
                 state = self._checkpoint(new_state, it, delta)
             else:
