@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pasgal_spark.graph import build_graph, kernels
+from pasgal_spark.graph import bcc as bccmod
 from pasgal_spark.graph import directed
 from pasgal_spark.graph.builder import GRAPH_CTE, LinkGraph, load_views
 from pasgal_spark.sources.pages import PAGES_CTE, pages_from_documents
@@ -158,6 +159,33 @@ def _q_scc(spark: SparkSession, sf: str) -> DataFrame:
     return directed.scc(g.edges, g.vertices)
 
 
+# Deterministic sparse subgraph for the biconnectivity family: the canonical
+# graph is dense enough to be 2-connected (zero articulation points — a
+# trivial fixture), so BCC queries run on a ~12.5% symmetric-consistent edge
+# sample that has real bridges and articulation points. Portable SQL
+# (Spark ∩ DuckDB).
+SPARSE_FILTER = "(least(src, dst) * 31 + greatest(src, dst) * 17) % 8 = 0"
+
+
+def _sparse_sym(g: LinkGraph):
+    return g.sym.filter(F.expr(SPARSE_FILTER))
+
+
+def _q_bcc(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    return bccmod.bcc(_sparse_sym(g), g.vertices)
+
+
+def _q_articulation_points(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    return bccmod.articulation_points(_sparse_sym(g), g.vertices)
+
+
+def _q_bcc_summary(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    return bccmod.bcc_summary(_sparse_sym(g), g.vertices)
+
+
 def _q_spanning_forest_size(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
     cc = kernels.connected_components(g.sym, g.vertices)
@@ -298,6 +326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_reachability": _q_multi_reach,
         "scc": _q_scc,
         "spanning_forest_size": _q_spanning_forest_size,
+        "bcc": _q_bcc,
+        "articulation_points": _q_articulation_points,
+        "bcc_summary": _q_bcc_summary,
         "approx_diameter": _q_approx_diameter,
         "extract_links": _q_extract_links,
         "extract_text": _q_extract_text,
@@ -717,6 +748,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT x.a AS id, min(x.b) AS scc
             FROM reach x JOIN reach y ON x.a = y.b AND x.b = y.a
             GROUP BY x.a
+        """,
+        # FAST-BCC vertex labels are canonical-tree-dependent (an articulation
+        # vertex belongs to the cluster of its parent edge's BCC), so the
+        # ``bcc`` and ``bcc_summary`` queries are covered by the driver's
+        # rows-only check + the Hopcroft-Tarjan differential in
+        # tests/test_bcc.py; ``articulation_points`` is fully canonical and
+        # gets the recursive-SQL oracle below (a vertex is an articulation
+        # point iff some neighbor can't reach the min neighbor in G - v).
+        "articulation_points": f"""
+            WITH RECURSIVE {C},
+            ssym AS (SELECT src, dst FROM sym WHERE {SPARSE_FILTER}),
+            nbr AS (SELECT src AS v, dst AS u FROM ssym),
+            cand AS (SELECT v, min(u) AS seed FROM nbr GROUP BY v HAVING count(*) >= 2),
+            reach(v, id) AS (
+              SELECT v, seed FROM cand
+              UNION
+              SELECT r.v, s.dst FROM reach r JOIN ssym s ON s.src = r.id
+              WHERE s.dst <> r.v
+            )
+            SELECT DISTINCT c.v AS id
+            FROM cand c JOIN nbr n ON n.v = c.v
+            LEFT JOIN reach r ON r.v = c.v AND r.id = n.u
+            WHERE r.id IS NULL
         """,
         "spanning_forest_size": f"""
             WITH RECURSIVE {C},

@@ -126,3 +126,67 @@ def triangle_oracle(sym_edges):
                 if w in a[u]:
                     count += 1
     return count
+
+
+def bcc_oracle(n_vertices, sym_edges):
+    """Hopcroft-Tarjan biconnected components (iterative DFS with an edge
+    stack — sequential oracle matching the reference's
+    /root/reference/src/BCC/hopcroft-tarjan.h:8-79). Returns a set of
+    frozensets; each frozenset holds the (min, max)-normalized edges of
+    one biconnected component."""
+    a = adj(sym_edges)
+    norm = lambda u, v: (min(u, v), max(u, v))  # noqa: E731
+    disc = {}
+    low = {}
+    groups = []
+    timer = [0]
+    for s in range(n_vertices):
+        if s in disc or not a[s]:
+            continue
+        disc[s] = low[s] = timer[0]
+        timer[0] += 1
+        stack = [(s, -1, iter(sorted(a[s])))]
+        estack = []
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in disc:
+                    estack.append(norm(v, w))
+                    disc[w] = low[w] = timer[0]
+                    timer[0] += 1
+                    stack.append((w, v, iter(sorted(a[w]))))
+                    advanced = True
+                    break
+                elif w != parent and disc[w] < disc[v]:
+                    estack.append(norm(v, w))
+                    low[v] = min(low[v], disc[w])
+            if advanced:
+                continue
+            stack.pop()
+            if stack:
+                u = stack[-1][0]
+                low[u] = min(low[u], low[v])
+                if low[v] >= disc[u]:
+                    grp = set()
+                    while estack[-1] != norm(u, v):
+                        grp.add(estack.pop())
+                    grp.add(estack.pop())
+                    groups.append(frozenset(grp))
+    return set(groups)
+
+
+def articulation_oracle(n_vertices, sym_edges):
+    """Articulation points = vertices incident to >= 2 BCC edge groups."""
+    groups = bcc_oracle(n_vertices, sym_edges)
+    from collections import Counter
+
+    cnt = Counter()
+    for grp in groups:
+        members = set()
+        for u, v in grp:
+            members.add(u)
+            members.add(v)
+        for m in members:
+            cnt[m] += 1
+    return {v for v, c in cnt.items() if c >= 2}

@@ -1,0 +1,104 @@
+"""FAST-BCC differential tests vs the sequential Hopcroft-Tarjan oracle —
+the reference's own verification strategy (fast-bcc checked against
+/root/reference/src/BCC/hopcroft-tarjan.h)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pasgal_spark.graph import bcc as bccmod
+from tests.conftest import edges_df, vertices_df
+from tests.oracles import articulation_oracle, bcc_oracle
+
+
+def _sym_pairs(pairs):
+    s = set()
+    for u, v in pairs:
+        if u != v:
+            s.add((u, v))
+            s.add((v, u))
+    return sorted(s)
+
+
+def _spark_edge_groups(spark, n, pairs):
+    sym = edges_df(spark, _sym_pairs(pairs))
+    vertices = vertices_df(spark, range(n))
+    rows = bccmod.bcc_edges(sym, vertices).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["bcc"], set()).add((r["src"], r["dst"]))
+    return set(frozenset(g) for g in groups.values())
+
+
+# -- fixtures ----------------------------------------------------------------
+
+# Two triangles sharing vertex 2, a bridge 4-5, a pendant 5-6, isolated 7.
+FIG8 = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4), (4, 5), (5, 6)]
+
+# 4-cycle with a chord (single BCC) plus a tail.
+CHORD = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (3, 4)]
+
+# Path graph: every edge its own BCC (all bridges).
+PATH = [(i, i + 1) for i in range(6)]
+
+# Theta graph: two vertices joined by three disjoint paths — one BCC.
+THETA = [(0, 1), (1, 2), (2, 5), (0, 3), (3, 5), (0, 4), (4, 5)]
+
+
+@pytest.mark.parametrize(
+    "pairs,n",
+    [(FIG8, 8), (CHORD, 5), (PATH, 7), (THETA, 6)],
+    ids=["figure8", "chord", "path", "theta"],
+)
+def test_bcc_edge_partition_matches_hopcroft_tarjan(spark, pairs, n):
+    got = _spark_edge_groups(spark, n, pairs)
+    want = bcc_oracle(n, pairs)
+    assert got == want
+
+
+def test_bcc_random_graph_matches_oracle(spark):
+    # Deterministic hash-derived graph (the reference's synthetic idiom,
+    # src/graph.h:397-433): ~2n edges over n=40 vertices, plus a guaranteed
+    # bridge chain hanging off vertex 0.
+    n = 40
+    pairs = []
+    for i in range(2 * n):
+        u = (i * 2654435761 + 7) % n
+        v = (i * 40503 + 11) % n
+        if u != v:
+            pairs.append((u, v))
+    pairs += [(0, n), (n, n + 1)]
+    got = _spark_edge_groups(spark, n + 2, pairs)
+    want = bcc_oracle(n + 2, pairs)
+    assert got == want
+
+
+def test_bcc_vertex_labels_cover_all_vertices(spark):
+    n = 8
+    sym = edges_df(spark, _sym_pairs(FIG8))
+    vertices = vertices_df(spark, range(n))
+    rows = bccmod.bcc(sym, vertices).collect()
+    assert {r["id"] for r in rows} == set(range(n))
+    # one label per vertex
+    assert len(rows) == n
+
+
+def test_articulation_points_match_oracle(spark):
+    for pairs, n in [(FIG8, 8), (CHORD, 5), (PATH, 7), (THETA, 6)]:
+        sym = edges_df(spark, _sym_pairs(pairs))
+        vertices = vertices_df(spark, range(n))
+        got = {r["id"] for r in bccmod.articulation_points(sym, vertices).collect()}
+        assert got == articulation_oracle(n, pairs), f"fixture {pairs}"
+
+
+def test_bcc_summary_counts(spark):
+    n = 8
+    sym = edges_df(spark, _sym_pairs(FIG8))
+    vertices = vertices_df(spark, range(n))
+    row = bccmod.bcc_summary(sym, vertices).first()
+    want = bcc_oracle(n, FIG8)
+    assert row["n_bcc"] == len(want)
+    assert row["largest_bcc_edges"] == max(len(g) for g in want)
+    assert row["n_bridges"] == sum(1 for g in want if len(g) == 1)
+    assert row["n_cc"] == 2  # {0..6} and {7}
