@@ -79,20 +79,21 @@ def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_cc(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
-    return kernels.connected_components(g.sym, g.vertices)
+    # two-phase: fixed supersteps + driver union-find (the 100 TB path)
+    return kernels.connected_components_two_phase(g.sym, g.vertices)
 
 
 def _q_largest_cc(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
     return kernels.largest_component(
-        kernels.connected_components(g.sym, g.vertices)
+        kernels.connected_components_two_phase(g.sym, g.vertices)
     )
 
 
 def _q_cc_histogram(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
     return kernels.component_histogram(
-        kernels.connected_components(g.sym, g.vertices)
+        kernels.connected_components_two_phase(g.sym, g.vertices)
     )
 
 
@@ -188,7 +189,7 @@ def _q_bcc_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_spanning_forest_size(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
-    cc = kernels.connected_components(g.sym, g.vertices)
+    cc = kernels.connected_components_two_phase(g.sym, g.vertices)
     forest = directed.spanning_forest(g.sym, g.vertices, cc)
     return forest.groupBy("component").agg(F.count(F.lit(1)).alias("tree_edges"))
 

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pasgal_spark.graph.kernels import connected_components
+from pasgal_spark.graph.kernels import connected_components_two_phase
 
 
 def spanning_tree(
@@ -246,11 +246,11 @@ def bcc(sym: DataFrame, vertices: DataFrame, cc: DataFrame | None = None) -> Dat
     cluster (see ``bcc_edges``).
     """
     if cc is None:
-        cc = connected_components(sym, vertices)
+        cc = connected_components_two_phase(sym, vertices)
     tree = spanning_tree(sym, vertices, cc)
     tags = tree_tags(tree, sym)
     filtered = fence_filter(sym, tags).localCheckpoint(eager=True)
-    labels = connected_components(filtered, vertices)
+    labels = connected_components_two_phase(filtered, vertices)
     return labels.select("id", F.col("component").alias("bcc"))
 
 
@@ -262,11 +262,11 @@ def bcc_edges(sym: DataFrame, vertices: DataFrame) -> DataFrame:
     cluster (parent = head); for surviving edges both endpoints share a
     cluster; for a dropped back edge the descendant's cluster.
     """
-    cc = connected_components(sym, vertices)
+    cc = connected_components_two_phase(sym, vertices)
     tree = spanning_tree(sym, vertices, cc)
     tags = tree_tags(tree, sym)
     filtered = fence_filter(sym, tags).localCheckpoint(eager=True)
-    labels = connected_components(filtered, vertices).select(
+    labels = connected_components_two_phase(filtered, vertices).select(
         "id", F.col("component").alias("lbl")
     )
     fx = tags.select("id", "first").join(labels, "id")
@@ -313,7 +313,7 @@ def bcc_summary(sym: DataFrame, vertices: DataFrame) -> DataFrame:
     reference's published artifact shape (src/BCC/fast-bcc.tsv:1,
     get_num_bcc at fast-bcc.h:261-282; bcc counted per distinct edge
     cluster, bridges = single-edge BCCs)."""
-    cc = connected_components(sym, vertices)
+    cc = connected_components_two_phase(sym, vertices)
     n_cc = cc.select("component").distinct().count()
     e = bcc_edges(sym, vertices)
     per = e.groupBy("bcc").agg(F.count(F.lit(1)).alias("n_edges"))

@@ -238,6 +238,7 @@ def connected_components(
     max_iterations: int = 100,
     checkpoint_every: int = 1,
     pointer_jump: bool = True,
+    on_round: Callable[[int], None] | None = None,
 ) -> DataFrame:
     """Hash-min CC over a symmetrized edge table → (id, component).
 
@@ -275,9 +276,108 @@ def connected_components(
         converged = it > 0 and new_sum == prev_sum
         prev_sum = new_sum
         labels = new
+        if on_round:
+            on_round(it)
         if converged:
             break
     return labels.select("id", "component")
+
+
+def connected_components_two_phase(
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    shrink_rounds: int = 4,
+    max_residual: int = 4_000_000,
+    checkpoint_every: int = 2,
+    on_round: Callable[[int], None] | None = None,
+) -> DataFrame:
+    """Exact CC in a FIXED number of supersteps + driver union-find.
+
+    The Spark rendition of the reference's two-phase connectivity
+    (src/BCC/connectivity.h:44-107): LDD-style clustering to shrink the
+    graph, then union-find over the few remaining inter-cluster edges.
+
+    Phase 1: ``shrink_rounds`` min-label + pointer-jump supersteps — no
+    convergence-detection jobs, so the superstep count is independent of
+    graph diameter. Phase 2: contract to the DISTINCT inter-cluster label
+    pairs (for a web graph after a few rounds this is tiny — the giant
+    component contracts to one label, so its edges vanish in the
+    distinct), assert the residual is driver-sized, finish with
+    sequential union-find, and broadcast the label fix-ups back.
+
+    Exact for any diameter: grids/chains (reference diameters 59k-102k,
+    src/utils/diameter.tsv:8-9) no longer need O(diameter) supersteps.
+    Labels are canonical min-ids, identical to ``connected_components``.
+    """
+    labels = vertices.select("id", vertices.id.alias("component"))
+    for it in range(shrink_rounds):
+        msgs = (
+            sym.join(labels, sym.src == labels.id)
+            .select(sym.dst.alias("id"), "component")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        parent = new.select(
+            F.col("id").alias("component"), F.col("component").alias("grand")
+        )
+        new = (
+            new.join(parent, "component", "left")
+            .select("id", F.least("component", "grand").alias("component"))
+        )
+        labels = _truncate(new, it, checkpoint_every)
+        if on_round:
+            on_round(it)
+    labels = labels.localCheckpoint(eager=True)
+
+    # Phase 2: residual cluster graph — distinct inter-cluster pairs only.
+    lu = labels.select(F.col("id").alias("src"), F.col("component").alias("cu"))
+    lv = labels.select(F.col("id").alias("dst"), F.col("component").alias("cv"))
+    residual = (
+        sym.join(lu, "src").join(lv, "dst")
+        .filter(F.col("cu") != F.col("cv"))
+        .select(F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b"))
+        .distinct()
+    )
+    pairs = residual.limit(max_residual + 1).collect()
+    if len(pairs) > max_residual:
+        raise RuntimeError(
+            f"two-phase CC residual exceeds {max_residual} pairs after "
+            f"{shrink_rounds} shrink rounds; raise shrink_rounds"
+        )
+    if not pairs:
+        return labels.select("id", "component")
+
+    # Sequential union-find with path halving (the declarative analog of
+    # gbbs find_compress/UniteRemCAS, external/connectivity.h:7-59),
+    # then canonicalize every merged group to its min member.
+    uf: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while uf.get(r, r) != r:
+            uf[r] = uf.get(uf[r], uf[r])
+            r = uf[r]
+        return r
+
+    for row in pairs:
+        ra, rb = find(row["a"]), find(row["b"])
+        if ra != rb:
+            # link larger root under smaller: keeps roots = group minima
+            if ra < rb:
+                uf[rb] = ra
+            else:
+                uf[ra] = rb
+    remap = [(x, find(x)) for x in list(uf) if find(x) != x]
+    spark = vertices.sparkSession
+    map_df = spark.createDataFrame(remap, "component long, final long")
+    return (
+        labels.join(F.broadcast(map_df), "component", "left")
+        .select("id", F.coalesce("final", "component").alias("component"))
+    )
 
 
 def largest_component(cc: DataFrame) -> DataFrame:

@@ -179,3 +179,40 @@ def test_salted_sum_equals_plain_sum(spark):
     }
     assert got.keys() == exp.keys()
     assert all(math.isclose(got[k], exp[k], rel_tol=1e-12) for k in got)
+
+
+def test_two_phase_cc_matches_fixpoint_loop_on_long_diameter_grid(spark):
+    """Reference two-phase connectivity (src/BCC/connectivity.h:44-107):
+    exact same labels as the fixpoint loop, in a constant number of
+    supersteps on a diameter-~250 grid (the reference's pathological
+    fixture class, src/utils/diameter.tsv:8-9)."""
+    from pasgal_spark.graph import kernels
+    from pasgal_spark.graph.builder import symmetrize
+    from pasgal_spark.sources.generators import grid_graph
+
+    g = grid_graph(spark, 4, 1000, torus=False)
+    sym = symmetrize(g).localCheckpoint(eager=True)
+    vertices = spark.range(4000).withColumnRenamed("id", "id")
+
+    old_rounds: list[int] = []
+    old = kernels.connected_components(
+        sym, vertices, on_round=lambda i: old_rounds.append(i)
+    )
+    new_rounds: list[int] = []
+    new = kernels.connected_components_two_phase(
+        sym, vertices, shrink_rounds=2, on_round=lambda i: new_rounds.append(i)
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    # constant supersteps vs diameter-driven loop: >= 3x fewer
+    assert len(new_rounds) == 2
+    assert len(old_rounds) >= 3 * len(new_rounds)
+
+
+def test_two_phase_cc_matches_on_canonical_graph(spark, sf_dir):
+    from pasgal_spark.graph import kernels
+    from pasgal_spark.graph.builder import build_graph
+
+    g = build_graph(spark, sf_dir, partitions=4)
+    a = kernels.connected_components(g.sym, g.vertices)
+    b = kernels.connected_components_two_phase(g.sym, g.vertices)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
