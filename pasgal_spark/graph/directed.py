@@ -22,6 +22,8 @@ Completes the reference's four-kernel suite (BFS/SSSP live in
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,6 +110,139 @@ def scc(
     edges: DataFrame,
     vertices: DataFrame,
     *,
+    trim_iterations: int = 10,
+    batch0: int = 4,
+    growth: float = 1.5,
+    max_rounds: int = 64,
+    on_round: Callable[[str, int], None] | None = None,
+) -> DataFrame:
+    """(id, scc): strongly connected components, scc = min member id.
+
+    The reference's scalable SCC strategy (src/SCC/scc.h:78-103):
+
+    1. **Trim** (scc.h:39-49): vertices with zero in- or out-degree within
+       the working graph are singleton SCCs — settle them in bulk,
+       iterated to a (capped) fixpoint.
+    2. **Giant-first** (scc.h:50-77): one forward + one backward
+       reachability from a deterministically-picked high-degree source;
+       the intersection is that source's SCC — on web graphs the giant
+       one — settled in two BFS passes.
+    3. **Exponential multi-source batches** (scc.h:100-103): remaining
+       vertices in deterministic hash order, batch sizes growing by
+       ``growth``; per batch, SCC(s) = fwd_reach(s) ∩ bwd_reach(s) for
+       every source s at once (multi-reachability), so a chain of k
+       trivial/small SCCs settles in O(log k) batch rounds instead of the
+       O(k) phases of min-label coloring (kept as ``scc_coloring``).
+
+    Raises if the round budget is exhausted with vertices unsettled
+    (every batch settles at least its sources, so this bounds runaways
+    rather than silently returning a partial result).
+    """
+    spark = edges.sparkSession
+    work_vertices = vertices.select("id").localCheckpoint(eager=True)
+    work_edges = edges.localCheckpoint(eager=True)
+    settled_parts: list[DataFrame] = []
+
+    def shrink(newly: DataFrame) -> None:
+        nonlocal work_vertices, work_edges
+        work_vertices = work_vertices.join(newly, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        work_edges = (
+            work_edges.join(newly.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(newly.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+
+    # -- 1. trim ----------------------------------------------------------
+    for t in range(trim_iterations):
+        outs = work_edges.select(F.col("src").alias("id")).distinct()
+        ins = work_edges.select(F.col("dst").alias("id")).distinct()
+        trivial = (
+            work_vertices.join(outs, "id", "left_anti")
+            .unionByName(work_vertices.join(ins, "id", "left_anti"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if trivial.isEmpty():
+            break
+        settled_parts.append(trivial.select("id", F.col("id").alias("scc")))
+        shrink(trivial)
+        if on_round:
+            on_round("trim", t)
+
+    # -- 2. giant-first -----------------------------------------------------
+    if not work_vertices.isEmpty():
+        od = work_edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        idg = work_edges.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+        pick = (
+            work_vertices.join(od, work_vertices.id == od.src, "left")
+            .join(idg, work_vertices.id == idg.dst, "left")
+            .select(
+                "id",
+                (F.coalesce("od", F.lit(0)) * F.coalesce("idg", F.lit(0))).alias("dp"),
+            )
+            .orderBy(F.desc("dp"), F.asc("id"))
+            .first()
+        )
+        source = pick["id"]
+        fwd = reachability(work_edges, source)
+        bwd = reachability(
+            work_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            source,
+        )
+        giant = fwd.join(bwd, "id").localCheckpoint(eager=True)
+        lbl = giant.agg(F.min("id")).first()[0]
+        settled_parts.append(giant.select("id", F.lit(lbl).cast("long").alias("scc")))
+        shrink(giant)
+        if on_round:
+            on_round("giant", 0)
+
+    # -- 3. exponential multi-source batches --------------------------------
+    batch = batch0
+    rounds = 0
+    while not work_vertices.isEmpty():
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"scc: round budget ({max_rounds}) exhausted with "
+                f"{work_vertices.count()} vertices unsettled"
+            )
+        srcs = [
+            r["id"]
+            for r in work_vertices.orderBy(
+                F.abs(F.xxhash64("id")), F.asc("id")
+            ).limit(batch).collect()
+        ]
+        fwd = multi_reachability(work_edges, srcs)
+        bwd = multi_reachability(
+            work_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            srcs,
+        )
+        members = fwd.join(bwd, ["id", "source"])
+        lbls = members.groupBy("source").agg(F.min("id").alias("scc"))
+        newly = (
+            members.join(lbls, "source").select("id", "scc").distinct()
+        ).localCheckpoint(eager=True)
+        settled_parts.append(newly)
+        shrink(newly)
+        if on_round:
+            on_round("batch", rounds)
+        batch = min(int(batch * growth) + 1, 4096)
+
+    if not settled_parts:
+        return spark.createDataFrame([], "id long, scc long")
+    out = settled_parts[0]
+    for df in settled_parts[1:]:
+        out = out.unionByName(df)
+    return out.select("id", "scc")
+
+
+def scc_coloring(
+    edges: DataFrame,
+    vertices: DataFrame,
+    *,
     max_phases: int = 50,
 ) -> DataFrame:
     """(id, scc): strongly connected components, scc = min member id.
@@ -119,6 +254,11 @@ def scc(
     through color-internal paths, so they form the root's SCC; (4) settle
     them, shrink the working graph, repeat. Trivial SCCs settle in the
     phase their vertex becomes a root.
+
+    Kept as the BGSS-style baseline; ``scc`` (trim + giant-first + batched
+    multi-reach) is the scalable default — coloring settles one color
+    generation per phase, which is O(chain length) phases on SCC-chain
+    topologies (see tests/test_directed.py).
     """
     settled = None  # (id, scc)
     work_edges = edges.localCheckpoint(eager=True)

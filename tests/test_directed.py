@@ -89,3 +89,54 @@ def test_pagerank_arrow_matches_dataframe_kernel(spark):
     for u in range(DI_N):
         assert math.isclose(a[u], b[u], abs_tol=1e-9)
         assert math.isclose(a[u], exp[u], abs_tol=1e-9)
+
+
+def _chain_of_cycles(k: int, size: int = 3):
+    """k directed `size`-cycles linked in a chain: the coloring algorithm's
+    pathological topology (one SCC settles per phase)."""
+    edges = []
+    for i in range(k):
+        base = i * size
+        for j in range(size):
+            edges.append((base + j, base + (j + 1) % size))
+        if i + 1 < k:
+            edges.append((base + size - 1, base + size))
+    return edges, k * size
+
+
+def test_scc_chain_of_cycles_matches_oracle_in_log_rounds(spark):
+    edges_l, n = _chain_of_cycles(12)
+    edges = edges_df(spark, edges_l)
+    verts = vertices_df(spark, range(n))
+    rounds: list[tuple[str, int]] = []
+    got = dict(
+        directed.scc(edges, verts, on_round=lambda kind, i: rounds.append((kind, i))).collect()
+    )
+    assert got == _scc_oracle(n, edges_l)
+    batch_rounds = sum(1 for kind, _ in rounds if kind == "batch")
+    # 12 SCCs: trim settles none (every vertex is on a cycle), giant-first
+    # settles one, exponential batches (4, 7, 11, ...) cover the remaining
+    # 11 in <= 3 rounds — vs >= 12 phases for the coloring baseline.
+    assert batch_rounds <= 3, rounds
+
+
+def test_scc_coloring_baseline_still_exact(spark):
+    edges_l, n = _chain_of_cycles(5)
+    edges = edges_df(spark, edges_l)
+    verts = vertices_df(spark, range(n))
+    got = dict(directed.scc_coloring(edges, verts).collect())
+    assert got == _scc_oracle(n, edges_l)
+
+
+def test_scc_dag_settles_via_trim(spark):
+    # pure DAG: every vertex is a trivial SCC; trim must settle all of them
+    # without any reachability rounds.
+    dag = [(i, j) for i in range(8) for j in range(i + 1, 8) if (i + j) % 3 == 0]
+    edges = edges_df(spark, dag)
+    verts = vertices_df(spark, range(8))
+    rounds: list[tuple[str, int]] = []
+    got = dict(
+        directed.scc(edges, verts, on_round=lambda kind, i: rounds.append((kind, i))).collect()
+    )
+    assert got == {i: i for i in range(8)}
+    assert all(kind == "trim" for kind, _ in rounds), rounds
