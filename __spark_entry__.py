@@ -172,6 +172,18 @@ def _sparse_sym(g: LinkGraph):
     return g.sym.filter(F.expr(SPARSE_FILTER))
 
 
+LDD_BETA_CAP = 4
+LDD_RADIUS_CAP = 8
+
+
+def _q_ldd(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    return kernels.ldd(
+        _sparse_sym(g), g.vertices,
+        beta_cap=LDD_BETA_CAP, radius_cap=LDD_RADIUS_CAP,
+    )
+
+
 def _q_bcc(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
     return bccmod.bcc(_sparse_sym(g), g.vertices)
@@ -327,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_reachability": _q_multi_reach,
         "scc": _q_scc,
         "spanning_forest_size": _q_spanning_forest_size,
+        "ldd": _q_ldd,
         "bcc": _q_bcc,
         "articulation_points": _q_articulation_points,
         "bcc_summary": _q_bcc_summary,
@@ -757,6 +770,27 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_bcc.py; ``articulation_points`` is fully canonical and
         # gets the recursive-SQL oracle below (a vertex is an articulation
         # point iff some neighbor can't reach the min neighbor in G - v).
+        "ldd": f"""
+            WITH RECURSIVE {C},
+            ssym AS (SELECT src, dst FROM sym WHERE {SPARSE_FILTER}),
+            hv AS (SELECT id,
+                   CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                   FROM vertices),
+            sv AS (SELECT id,
+                   CASE WHEN h % 16 = 0 THEN 0 WHEN h % 8 = 0 THEN 1
+                        WHEN h % 4 = 0 THEN 2 WHEN h % 2 = 0 THEN 3
+                        ELSE 4 END AS strt
+                   FROM hv),
+            walk(id, key) AS (
+              SELECT id, CAST(strt AS BIGINT) * 4294967296 + id FROM sv
+              UNION
+              SELECT s.dst, w.key + 4294967296 FROM walk w JOIN ssym s ON s.src = w.id
+              WHERE w.key + 4294967296 < {LDD_RADIUS_CAP + 1} * 4294967296
+            )
+            SELECT id, CAST(min(key) % 4294967296 AS BIGINT) AS label,
+                   CAST(floor(min(key) / 4294967296) AS BIGINT) AS cost
+            FROM walk GROUP BY id
+        """,
         "articulation_points": f"""
             WITH RECURSIVE {C},
             ssym AS (SELECT src, dst FROM sym WHERE {SPARSE_FILTER}),

@@ -433,6 +433,62 @@ def label_propagation(
     return labels
 
 
+def ldd(
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    beta_cap: int = 4,
+    radius_cap: int = 8,
+) -> DataFrame:
+    """(id, label, cost): low-diameter decomposition with exponentially
+    staggered center start times — the reference's LDD
+    (src/BCC/ldd.h:16-249), in its declarative shifted-start form.
+
+    Every vertex u is a potential center with a deterministic integer
+    start time ``start(u) = beta_cap - min(tz(hash(u)), beta_cap)`` (tz =
+    trailing zeros, i.e. a capped geometric(1/2) shift — the hash-seeded
+    stand-in for the reference's exp(beta) wave release, ldd.h:37-122).
+    v joins the cluster of the center minimizing
+    ``(start(u) + dist(u, v), u)`` — first arrival wins, ties to the min
+    center id, exactly the reference's CAS first-arrival adoption made
+    deterministic. Every vertex is covered (it is its own center with
+    cost start(v) <= beta_cap <= radius_cap), and cluster radii are
+    bounded by ``radius_cap``, so the superstep count is FIXED at
+    radius_cap regardless of graph diameter.
+
+    The (cost, center) pair is packed as ``cost * 2^32 + center`` so the
+    adoption rule is a single ``min`` aggregate (and the DuckDB oracle
+    reproduces it with identical integer arithmetic).
+    """
+    from pasgal_spark.functions.textstats import portable_hash
+
+    h = portable_hash(F.col("id").cast("string"))
+    start = F.when(h % F.lit(2 ** beta_cap) == 0, F.lit(0))
+    for j in range(beta_cap - 1, 0, -1):
+        start = start.when(h % F.lit(2 ** j) == 0, F.lit(beta_cap - j))
+    start = start.otherwise(F.lit(beta_cap))
+
+    big = F.lit(2 ** 32)
+    state = vertices.select(
+        "id", (start.cast("long") * big + F.col("id")).alias("key")
+    )
+    cap_key = (radius_cap + 1) * 2 ** 32
+    for r in range(radius_cap):
+        msgs = (
+            sym.join(state, sym.src == state.id)
+            .select(sym.dst.alias("id"), (F.col("key") + big).alias("key"))
+            .filter(F.col("key") < F.lit(cap_key))
+        )
+        state = (
+            state.unionByName(msgs).groupBy("id").agg(F.min("key").alias("key"))
+        ).localCheckpoint(eager=True)
+    return state.select(
+        "id",
+        (F.col("key") % big).alias("label"),
+        F.floor(F.col("key") / big).cast("long").alias("cost"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BFS / SSSP (frontier supersteps; reference §2D)
 # ---------------------------------------------------------------------------

@@ -216,3 +216,51 @@ def test_two_phase_cc_matches_on_canonical_graph(spark, sf_dir):
     a = kernels.connected_components(g.sym, g.vertices)
     b = kernels.connected_components_two_phase(g.sym, g.vertices)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ldd_matches_sequential_shifted_start_oracle(spark):
+    """LDD (reference src/BCC/ldd.h): cluster(v) = argmin over centers u of
+    (start(u) + dist(u, v), u), start from capped trailing-zeros of the
+    portable hash. Sequential replay below uses the identical rule."""
+    import hashlib
+    from collections import deque
+
+    from pasgal_spark.graph import kernels
+    from tests.conftest import edges_df, vertices_df
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (2, 6), (6, 7),
+             (7, 8), (8, 9), (9, 10), (10, 11)]
+    n = 12
+    sym_pairs = sorted({(u, v) for a, b in pairs for u, v in [(a, b), (b, a)]})
+    sym = edges_df(spark, sym_pairs)
+    verts = vertices_df(spark, range(n))
+    got = {r["id"]: (r["label"], r["cost"])
+           for r in kernels.ldd(sym, verts, beta_cap=4, radius_cap=8).collect()}
+
+    # sequential oracle
+    def start(u):
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        tz = 0
+        while tz < 4 and h % (2 ** (tz + 1)) == 0:
+            tz += 1
+        return 4 - tz
+
+    adj = {u: set() for u in range(n)}
+    for u, v in sym_pairs:
+        adj[u].add(v)
+    best = {v: (start(v), v) for v in range(n)}
+    for c in range(n):
+        dist = {c: 0}
+        dq = deque([c])
+        while dq:
+            x = dq.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    dq.append(y)
+        for v, d in dist.items():
+            cost = start(c) + d
+            if cost <= 8 and (cost, c) < best[v]:
+                best[v] = (cost, c)
+    want = {v: (lbl, cost) for v, (cost, lbl) in best.items()}
+    assert got == want
