@@ -104,7 +104,7 @@ def _q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_bfs(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
-    return kernels.bfs(g.sym, source=0, max_depth=BFS_MAXD)
+    return kernels.bfs(g.sym, source=0, max_depth=BFS_MAXD, vertices=g.vertices)
 
 
 def _q_sssp(spark: SparkSession, sf: str) -> DataFrame:
@@ -208,9 +208,9 @@ def _q_spanning_forest_size(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_approx_diameter(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
-    d1 = kernels.bfs(g.sym, source=0, max_depth=60)
+    d1 = kernels.bfs(g.sym, source=0, max_depth=60, vertices=g.vertices)
     far = d1.orderBy(F.desc("dist"), F.asc("id")).first()
-    d2 = kernels.bfs(g.sym, source=far["id"], max_depth=60)
+    d2 = kernels.bfs(g.sym, source=far["id"], max_depth=60, vertices=g.vertices)
     return d2.agg(
         F.lit(far["id"]).cast("long").alias("far_vertex"),
         F.max("dist").alias("diameter"),

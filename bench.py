@@ -87,7 +87,7 @@ def main() -> None:
     timed("connected_components", lambda: kernels.connected_components_two_phase(g.sym, g.vertices).select("component").distinct().count())
     timed("label_propagation", lambda: kernels.label_propagation(g.sym, g.vertices, rounds=4).count())
     timed("triangle_count", lambda: kernels.triangle_count(g.sym).collect())
-    timed("bfs", lambda: kernels.bfs(g.sym, 0, max_depth=30).count())
+    timed("bfs", lambda: kernels.bfs(g.sym, 0, max_depth=30, vertices=g.vertices).count())
 
     # -- web-text pipeline: synth pages -> extract -> edges ----------------
     def _pipeline():

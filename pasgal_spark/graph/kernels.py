@@ -499,30 +499,70 @@ def bfs(
     *,
     max_depth: int = 30,
     checkpoint_every: int = 1,
+    vertices: DataFrame | None = None,
+    dense_threshold: float = 0.05,
+    on_superstep: Callable[[int, str, int], None] | None = None,
 ) -> DataFrame:
     """Hop distances from ``source`` over the symmetric graph → (id, dist).
 
-    Frontier superstep loop (reference src/BFS/bfs.h:164-222). The
-    sparse/dense push-pull switch becomes AQE's broadcast-vs-shuffle join
-    choice on the frontier relation; the visited bitmap is a left-anti join.
-    Only vertices reached within ``max_depth`` hops are returned.
+    Direction-optimizing frontier supersteps (reference
+    src/BFS/bfs.h:140-222):
+
+    - **push** (sparse frontier): expand the frontier's out-edges, dedup,
+      anti-join visited — the edge work is proportional to the frontier's
+      degree sum.
+    - **pull** (dense frontier, needs ``vertices``): when the frontier
+      exceeds ``dense_threshold * n``, flip to the reference's dense phase
+      (bfs.h:140-158) — semi-join the edge table against the (small)
+      *unvisited* set first, then against the frontier, so the edge work
+      is proportional to the unvisited side's in-degree sum instead of the
+      whole frontier's expansion. On small-diameter web graphs 2-3 dense
+      supersteps carry most of the edges; this caps their shuffle at the
+      shrinking unvisited set. The early-exit per vertex becomes the
+      semi-join (first match wins, no dedup of |frontier| copies).
+
+    Without ``vertices`` the loop is pure push (old behavior). Only
+    vertices reached within ``max_depth`` hops are returned.
     """
     spark = sym.sparkSession
     visited = spark.createDataFrame([(source, 0)], "id long, dist int")
     frontier = visited
+    n = vertices.count() if vertices is not None else None
+    frontier_size, visited_size = 1, 1
     d = 0
     while d < max_depth:
         d += 1
-        nxt = (
-            sym.join(frontier, sym.src == frontier.id)
-            .select(sym.dst.alias("id"))
-            .distinct()
-            .join(visited, "id", "left_anti")
-            .withColumn("dist", F.lit(d))
+        dense = (
+            n is not None
+            and frontier_size > dense_threshold * n
+            and visited_size < n
         )
+        if dense:
+            unvisited = vertices.join(visited.select("id"), "id", "left_anti")
+            nxt = (
+                sym.join(
+                    unvisited.select(F.col("id").alias("dst")), "dst", "left_semi"
+                )
+                .join(frontier.select(F.col("id").alias("src")), "src", "left_semi")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .withColumn("dist", F.lit(d))
+            )
+        else:
+            nxt = (
+                sym.join(frontier, sym.src == frontier.id)
+                .select(sym.dst.alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .withColumn("dist", F.lit(d))
+            )
         nxt = _truncate(nxt, d, checkpoint_every)
-        if nxt.isEmpty():
+        frontier_size = nxt.count()
+        if on_superstep:
+            on_superstep(d, "pull" if dense else "push", frontier_size)
+        if frontier_size == 0:
             break
+        visited_size += frontier_size
         visited = _truncate(visited.unionByName(nxt), d, checkpoint_every)
         frontier = nxt
     return visited

@@ -264,3 +264,23 @@ def test_ldd_matches_sequential_shifted_start_oracle(spark):
                 best[v] = (cost, c)
     want = {v: (lbl, cost) for v, (cost, lbl) in best.items()}
     assert got == want
+
+
+def test_bfs_dense_pull_matches_push(spark):
+    """Direction optimization (reference src/BFS/bfs.h:140-162): forcing the
+    dense-pull phase on every superstep must give identical distances."""
+    for pairs, n in [(TT_EDGES, TT_N), (PATH_EDGES, PATH_N), (STAR_EDGES, STAR_N)]:
+        sym = edges_df(spark, _sym_pairs(pairs))
+        verts = vertices_df(spark, range(n))
+        push = dict(kernels.bfs(sym, source=0, max_depth=15).collect())
+        modes: list[str] = []
+        pull = dict(
+            kernels.bfs(
+                sym, source=0, max_depth=15, vertices=verts, dense_threshold=0.0,
+                on_superstep=lambda d, mode, sz: modes.append(mode),
+            ).collect()
+        )
+        assert push == pull
+        # pull used whenever unvisited vertices remain (falls back to push
+        # only on the final superstep once everything is visited)
+        assert modes[0] == "pull" and "pull" in set(modes), modes
