@@ -423,9 +423,18 @@ def oracle_sql() -> dict[str, str]:
             for b in range(4)
           )}
         ),
+        bands_ok AS (
+          SELECT band, band_hash FROM bands
+          GROUP BY band, band_hash HAVING count(*) <= 100000
+        ),
+        bandsf AS (
+          SELECT b.doc_id, b.band, b.band_hash
+          FROM bands b JOIN bands_ok ok
+            ON b.band = ok.band AND b.band_hash = ok.band_hash
+        ),
         cand AS (
           SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-          FROM bands l JOIN bands r
+          FROM bandsf l JOIN bandsf r
             ON l.band = r.band AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
         )
     """
@@ -535,7 +544,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_ann": f"""
             WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-            b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket, e FROM e0),
+            b0 AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket, e FROM e0),
+            bok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 100000),
+            b AS (SELECT b0.vec_id, b0.bucket, b0.e FROM b0 JOIN bok ON b0.bucket = bok.bucket),
             pairs AS (
               SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
                      {COSINE.format(a="l.e", b="r.e")} AS s

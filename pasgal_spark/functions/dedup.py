@@ -135,15 +135,32 @@ def lsh_bands(piv: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES) 
     ).select("doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
 
 
-def lsh_candidate_pairs(docs: DataFrame, piv: DataFrame | None = None) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    piv: DataFrame | None = None,
+    *,
+    max_bucket: int = 100_000,
+) -> DataFrame:
     """(a, b) near-duplicate candidate pairs sharing any LSH band bucket.
 
     The scale path: the only join is an equi-join on (band, band_hash) —
     candidate pairs never cross bucket boundaries, so cost is
     Σ bucket_size², not n². a < b, deduped across bands. Pass a
     precomputed ``piv`` (minhash_pivot) to reuse cached signatures.
+    ``max_bucket`` drops degenerate bands (e.g. the all-empty-text bucket
+    of a dirty crawl) whose size² self-join would dominate at 100 TB —
+    their members are near-certain duplicates of a cluster that exact
+    dedup already collapses. The driver oracle applies the same cap.
     """
     bands = lsh_bands(piv if piv is not None else minhash_pivot(docs))
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        bands = bands.join(ok, ["band", "band_hash"], "left_semi")
     left = bands.alias("l")
     right = bands.alias("r")
     return (

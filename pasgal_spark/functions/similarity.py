@@ -58,32 +58,70 @@ def cosine_topk(
     )
 
 
-def _plane(p: int, dim: int = DIM) -> Column:
-    """Deterministic integer hyperplane p: w_j = (p*131071 + j*524287) % 2001 - 1000."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: ((F.lit(p) * 131071 + j * 524287) % 2001 - 1000).cast("double"),
-    )
+def hyperplane_buckets(
+    emb: DataFrame, n_planes: int = N_PLANES, dim: int = DIM
+) -> DataFrame:
+    """(vec_id, bucket): sign-of-dot-product LSH bucket id (n_planes bits).
 
-
-def hyperplane_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, bucket): sign-of-dot-product LSH bucket id (n_planes bits)."""
+    Deterministic integer hyperplanes w_pj = (p*131071 + j*524287) % 2001
+    - 1000 (no RNG state — the reference's hash-derived-randomness idiom,
+    src/graph.h:397-433). All n_planes dot products are accumulated in ONE
+    traversal of the embedding (an array-of-lanes fold), and the dots
+    vector is materialized in its own projection so the per-plane sign
+    bits read an attribute instead of re-expanding the fold n_planes
+    times. Per-plane summation order (ascending j) is unchanged, so the
+    result is bit-identical to separate dot products.
+    """
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def planes_at(i: Column) -> Column:  # weights of all planes at element i (1-based)
+        return F.array(
+            *[
+                ((F.lit(p) * 131071 + (i - 1) * 524287) % 2001 - 1000).cast("double")
+                for p in range(n_planes)
+            ]
+        )
+
+    zero = F.array(*[F.lit(0.0)] * n_planes)
+    dots = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        zero,
+        lambda acc, i: F.zip_with(
+            acc, planes_at(i), lambda a, w: a + F.element_at(F.col("e"), i) * w
+        ),
+    )
+    d = e.select("vec_id", dots.alias("dots"))
     bucket = None
     for p in range(n_planes):
-        bit = F.when(_dot(F.col("e"), _plane(p)) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bit = F.when(F.element_at(F.col("dots"), p + 1) > 0, F.lit(2 ** p)).otherwise(
+            F.lit(0)
+        )
         bucket = bit if bucket is None else bucket + bit
-    return e.select("vec_id", bucket.cast("long").alias("bucket"))
+    return d.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
-def bucketed_ann(emb: DataFrame, *, k: int = 3) -> DataFrame:
+def bucketed_ann(
+    emb: DataFrame, *, k: int = 3, max_bucket: int = 100_000
+) -> DataFrame:
     """(query_id, neighbor_id, score): ANN restricted to same-LSH-bucket pairs.
 
     The scale variant of ``cosine_topk``: candidates meet only inside a
     bucket (equi-join on bucket id) — recall trades against the n² scan.
+    ``max_bucket`` caps the self-join blowup of a pathologically skewed
+    bucket (cost per bucket is size², so one hot bucket of 10^7 vectors
+    would dominate a 100 TB run): buckets above the cap contribute no
+    pairs. The driver oracle applies the identical HAVING cap.
     """
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     b = hyperplane_buckets(emb)
+    if max_bucket is not None:
+        ok = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bucket")
+        )
+        b = b.join(ok, "bucket", "left_semi")
     eb = e.join(b, "vec_id")
     left = eb.alias("l")
     right = eb.alias("r")

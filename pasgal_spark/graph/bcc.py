@@ -204,6 +204,30 @@ def tree_tags(tree: DataFrame, sym: DataFrame) -> DataFrame:
     )
 
 
+def relabeled_forest(tree: DataFrame, tags: DataFrame) -> DataFrame:
+    """(component, local_id, local_parent, id): the reference's ``Forest``
+    output form — each spanning tree as its own relabeled subgraph
+    (src/graph.h:436-443: per-tree vertex arrays with dense local ids).
+
+    The preorder ``first`` tags ARE a dense 0-based per-tree numbering
+    (root = 0, subtree-contiguous), so relabeling is one join: local id =
+    first[v], local parent = first[parent(v)]. Rows are naturally
+    partitionable by component — the Spark analog of the reference's
+    per-tree CSR blocks.
+    """
+    pf = tags.select(F.col("id").alias("parent"), F.col("first").alias("pfirst"))
+    return (
+        tree.join(tags.select("id", "first"), "id")
+        .join(pf, "parent")
+        .select(
+            "component",
+            F.col("first").alias("local_id"),
+            F.col("pfirst").alias("local_parent"),
+            "id",
+        )
+    )
+
+
 def fence_filter(sym: DataFrame, tags: DataFrame) -> DataFrame:
     """Edges that survive the FAST-BCC fence predicate (fast-bcc.h:239-254).
 

@@ -89,7 +89,30 @@ def main() -> None:
         must_not=[],
     )
 
-    # 3. extractor: Python only at the extraction boundary
+    # 3. exact_dedup: the text column must be reduced to its digest at the
+    #    scan — no Exchange may carry the payload (What's-wrong #1, r1).
+    from pasgal_spark.functions.dedup import corpus, exact_dedup
+
+    dd = exact_dedup(corpus(spark, sf))
+    p = plan_of(dd)
+    # Exchange rows carry only (doc_id, h): assert no exchange input lists
+    # the text attribute. The formatted plan prints each Exchange's child
+    # output — grep the Exchange sections for "text".
+    exchanges = [
+        seg for seg in p.split("\n\n") if "Exchange" in seg
+    ]
+    text_in_exchange = any("text#" in seg for seg in exchanges)
+    check(
+        "exact_dedup shuffles digest, not payload",
+        p,
+        must=["hashpartitioning(h#", "HashAggregate"],
+        must_not=["Window", "Sort [text"],
+    )
+    print(f"  [{'x' if not text_in_exchange else ' '}] no Exchange carries text")
+    if text_in_exchange:
+        print("  FAIL (text column in an exchange)")
+
+    # 4. extractor: Python only at the extraction boundary
     from pasgal_spark.sources.pages import pages_from_documents
     from pasgal_spark.sources.extract import extract_links, links_to_edges
 

@@ -102,3 +102,28 @@ def test_bcc_summary_counts(spark):
     assert row["largest_bcc_edges"] == max(len(g) for g in want)
     assert row["n_bridges"] == sum(1 for g in want if len(g) == 1)
     assert row["n_cc"] == 2  # {0..6} and {7}
+
+
+def test_relabeled_forest_is_dense_per_tree(spark):
+    """Forest output form (reference src/graph.h:436-443): local ids are a
+    dense 0-based preorder per tree with the root at 0, and every child's
+    local parent is a valid local id of the same tree."""
+    from pasgal_spark.graph.kernels import connected_components_two_phase
+
+    n = 8
+    sym = edges_df(spark, _sym_pairs(FIG8))
+    vertices = vertices_df(spark, range(n))
+    cc = connected_components_two_phase(sym, vertices)
+    tree = bccmod.spanning_tree(sym, vertices, cc)
+    tags = bccmod.tree_tags(tree, sym)
+    rows = bccmod.relabeled_forest(tree, tags).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, rs in by_comp.items():
+        ids = sorted(r["local_id"] for r in rs)
+        assert ids == list(range(len(rs)))  # dense 0-based
+        roots = [r for r in rs if r["id"] == comp]
+        assert len(roots) == 1 and roots[0]["local_id"] == 0
+        valid = set(ids)
+        assert all(r["local_parent"] in valid for r in rs)

@@ -140,3 +140,14 @@ def test_scc_dag_settles_via_trim(spark):
     )
     assert got == {i: i for i in range(8)}
     assert all(kind == "trim" for kind, _ in rounds), rounds
+
+
+def test_pagerank_blocked_matches_dataframe_kernel(spark):
+    from pasgal_spark.graph.arrow_kernels import pagerank_blocked
+
+    edges = edges_df(spark, DI_EDGES)
+    verts = vertices_df(spark, range(DI_N))
+    a = dict(pagerank_blocked(edges, verts, iterations=12).collect())
+    b = dict(kernels.pagerank(edges, verts, iterations=12).collect())
+    for u in range(DI_N):
+        assert math.isclose(a[u], b[u], abs_tol=1e-9)
