@@ -287,7 +287,7 @@ def connected_components_two_phase(
     sym: DataFrame,
     vertices: DataFrame,
     *,
-    shrink_rounds: int = 4,
+    shrink_rounds: int = 3,
     max_residual: int = 4_000_000,
     checkpoint_every: int = 2,
     on_round: Callable[[int], None] | None = None,
@@ -532,10 +532,15 @@ def bfs(
     d = 0
     while d < max_depth:
         d += 1
+        # Pull pays off only when the unvisited side is smaller than the
+        # frontier (its edge work is ~unvisited in-degree vs frontier
+        # expansion) — the reference's m_frontier vs m_unvisited test
+        # (bfs.h:160-162) with counts as the degree proxy.
+        unvisited_size = (n - visited_size) if n is not None else None
         dense = (
             n is not None
             and frontier_size > dense_threshold * n
-            and visited_size < n
+            and 0 < unvisited_size < frontier_size
         )
         if dense:
             unvisited = vertices.join(visited.select("id"), "id", "left_anti")

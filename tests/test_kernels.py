@@ -267,9 +267,18 @@ def test_ldd_matches_sequential_shifted_start_oracle(spark):
 
 
 def test_bfs_dense_pull_matches_push(spark):
-    """Direction optimization (reference src/BFS/bfs.h:140-162): forcing the
-    dense-pull phase on every superstep must give identical distances."""
-    for pairs, n in [(TT_EDGES, TT_N), (PATH_EDGES, PATH_N), (STAR_EDGES, STAR_N)]:
+    """Direction optimization (reference src/BFS/bfs.h:140-162): with the
+    switch forced as eager as possible (threshold 0), distances must be
+    identical to pure push, and the dense superstep (frontier larger than
+    the unvisited remainder) must actually take the pull path."""
+    # fan-out fixture: 0 -> 1..5, 1 -> 6. At depth 2 the frontier (5) far
+    # exceeds the unvisited remainder (1) -> pull engages there.
+    fan = [(0, i) for i in range(1, 6)] + [(1, 6)]
+    cases = [
+        (TT_EDGES, TT_N), (PATH_EDGES, PATH_N), (STAR_EDGES, STAR_N), (fan, 7),
+    ]
+    saw_pull = False
+    for pairs, n in cases:
         sym = edges_df(spark, _sym_pairs(pairs))
         verts = vertices_df(spark, range(n))
         push = dict(kernels.bfs(sym, source=0, max_depth=15).collect())
@@ -281,6 +290,7 @@ def test_bfs_dense_pull_matches_push(spark):
             ).collect()
         )
         assert push == pull
-        # pull used whenever unvisited vertices remain (falls back to push
-        # only on the final superstep once everything is visited)
-        assert modes[0] == "pull" and "pull" in set(modes), modes
+        saw_pull = saw_pull or "pull" in modes
+        if pairs is fan:
+            assert modes[1] == "pull", modes  # the dense layer pulls
+    assert saw_pull
