@@ -32,6 +32,13 @@ _GRAPH_CACHE: dict[str, LinkGraph] = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    # Stats guard for the driver's vanilla session (see session.get_spark):
+    # un-stats'd LogicalRDDs (every localCheckpoint) default to
+    # sizeInBytes = Long.MaxValue and Catalyst multiplies sizes per join —
+    # deep superstep plans then spend minutes in BigInteger math during
+    # planning. Finite default keeps products tiny, broadcast choices
+    # unchanged (1 TiB >> any broadcast threshold).
+    spark.conf.set("spark.sql.defaultSizeInBytes", str(1 << 40))
     g = _GRAPH_CACHE.get(sf_dir)
     if g is None or g.edges.sparkSession is not spark:
         # Range-partition the edge tables by src at ingest so every superstep
@@ -185,8 +192,13 @@ def _q_ldd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_bcc(spark: SparkSession, sf: str) -> DataFrame:
+    # Canonical per-edge BCC partition (labels = min normalized edge key per
+    # cluster — unique regardless of spanning tree, hence oracle-checkable;
+    # VERDICT r2 #1). Runs the diameter-safe euler strategy so the O(log n)
+    # path gets hard-signal coverage; `articulation_points` keeps the
+    # level-sweep path covered.
     g = _graph(spark, sf)
-    return bccmod.bcc(_sparse_sym(g), g.vertices)
+    return bccmod.bcc_edges_canonical(_sparse_sym(g), g.vertices, strategy="euler")
 
 
 def _q_articulation_points(spark: SparkSession, sf: str) -> DataFrame:
@@ -774,13 +786,87 @@ def oracle_sql() -> dict[str, str]:
             FROM reach x JOIN reach y ON x.a = y.b AND x.b = y.a
             GROUP BY x.a
         """,
-        # FAST-BCC vertex labels are canonical-tree-dependent (an articulation
-        # vertex belongs to the cluster of its parent edge's BCC), so the
-        # ``bcc`` and ``bcc_summary`` queries are covered by the driver's
-        # rows-only check + the Hopcroft-Tarjan differential in
-        # tests/test_bcc.py; ``articulation_points`` is fully canonical and
-        # gets the recursive-SQL oracle below (a vertex is an articulation
-        # point iff some neighbor can't reach the min neighbor in G - v).
+        # BCC oracle (canonical per-edge partition): two edges sharing vertex
+        # v are in the same biconnected component iff their other endpoints
+        # are connected in G - v (common-cycle criterion, the same
+        # characterization the reference's Hopcroft-Tarjan oracle exploits,
+        # src/BCC/hopcroft-tarjan.h:8-79). reachv computes, per directed
+        # neighbor pair (v, x), x's reach set in G - v; rep collapses each
+        # neighbor class of v to its minimum member; elbl is min-label CC
+        # over the edge-link graph; the cluster label is the minimum
+        # normalized edge key — exactly bcc_edges_canonical's labeling.
+        "bcc": f"""
+            WITH RECURSIVE {C},
+            ssym AS (SELECT src, dst FROM sym WHERE {SPARSE_FILTER}),
+            und AS (SELECT src AS a, dst AS b FROM ssym WHERE src < dst),
+            nbr AS (SELECT src AS v, dst AS x FROM ssym),
+            reachv(v, x, node) AS (
+              SELECT v, x, x FROM nbr
+              UNION
+              SELECT r.v, r.x, s.dst FROM reachv r JOIN ssym s ON s.src = r.node
+              WHERE s.dst <> r.v
+            ),
+            rep AS (
+              SELECT r.v, r.x, min(n2.x) AS rx
+              FROM reachv r JOIN nbr n2 ON n2.v = r.v AND n2.x = r.node
+              GROUP BY r.v, r.x
+            ),
+            links AS (
+              SELECT least(v, x) * 4294967296 + greatest(v, x) AS s,
+                     least(v, rx) * 4294967296 + greatest(v, rx) AS t
+              FROM rep
+            ),
+            lsym AS (SELECT s, t FROM links UNION SELECT t, s FROM links),
+            elbl(e, l) AS (
+              SELECT a * 4294967296 + b, a * 4294967296 + b FROM und
+              UNION
+              SELECT ls.t, el.l FROM elbl el JOIN lsym ls ON ls.s = el.e
+            )
+            SELECT CAST(floor(e / 4294967296) AS BIGINT) AS src,
+                   CAST(e % 4294967296 AS BIGINT) AS dst,
+                   min(l) AS bcc
+            FROM elbl GROUP BY e
+        """,
+        "bcc_summary": f"""
+            WITH RECURSIVE {C},
+            ssym AS (SELECT src, dst FROM sym WHERE {SPARSE_FILTER}),
+            und AS (SELECT src AS a, dst AS b FROM ssym WHERE src < dst),
+            nbr AS (SELECT src AS v, dst AS x FROM ssym),
+            reachv(v, x, node) AS (
+              SELECT v, x, x FROM nbr
+              UNION
+              SELECT r.v, r.x, s.dst FROM reachv r JOIN ssym s ON s.src = r.node
+              WHERE s.dst <> r.v
+            ),
+            rep AS (
+              SELECT r.v, r.x, min(n2.x) AS rx
+              FROM reachv r JOIN nbr n2 ON n2.v = r.v AND n2.x = r.node
+              GROUP BY r.v, r.x
+            ),
+            links AS (
+              SELECT least(v, x) * 4294967296 + greatest(v, x) AS s,
+                     least(v, rx) * 4294967296 + greatest(v, rx) AS t
+              FROM rep
+            ),
+            lsym AS (SELECT s, t FROM links UNION SELECT t, s FROM links),
+            elbl(e, l) AS (
+              SELECT a * 4294967296 + b, a * 4294967296 + b FROM und
+              UNION
+              SELECT ls.t, el.l FROM elbl el JOIN lsym ls ON ls.s = el.e
+            ),
+            part AS (SELECT e, min(l) AS bcc FROM elbl GROUP BY e),
+            per AS (SELECT bcc, count(*) AS n_edges FROM part GROUP BY bcc),
+            creach(id, lbl) AS (
+              SELECT id, id FROM vertices
+              UNION
+              SELECT s.dst, r.lbl FROM creach r JOIN ssym s ON s.src = r.id
+            ),
+            comp AS (SELECT id, min(lbl) AS c FROM creach GROUP BY id)
+            SELECT (SELECT count(DISTINCT c) FROM comp) AS n_cc,
+                   (SELECT count(*) FROM per) AS n_bcc,
+                   (SELECT max(n_edges) FROM per) AS largest_bcc_edges,
+                   (SELECT count(*) FROM per WHERE n_edges = 1) AS n_bridges
+        """,
         "ldd": f"""
             WITH RECURSIVE {C},
             ssym AS (SELECT src, dst FROM sym WHERE {SPARSE_FILTER}),

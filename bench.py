@@ -84,7 +84,11 @@ def main() -> None:
     }
 
     # -- other kernels ------------------------------------------------------
+    # CC both physical strategies: two-phase (fixed supersteps — the 100 TB
+    # path) vs hash-min convergence (cheaper on small/shallow graphs); the
+    # crossover is recorded in BASELINE.md (VERDICT r2 #3).
     timed("connected_components", lambda: kernels.connected_components_two_phase(g.sym, g.vertices).select("component").distinct().count())
+    timed("connected_components_hashmin", lambda: kernels.connected_components(g.sym, g.vertices).select("component").distinct().count())
     timed("label_propagation", lambda: kernels.label_propagation(g.sym, g.vertices, rounds=4).count())
     timed("triangle_count", lambda: kernels.triangle_count(g.sym).collect())
     timed("bfs", lambda: kernels.bfs(g.sym, 0, max_depth=30, vertices=g.vertices).count())
@@ -95,6 +99,20 @@ def main() -> None:
         links_to_edges(extract_links(pages)).count()
 
     timed("extract_pipeline_50k_pages", _pipeline)
+
+    # -- BCC family (the r2 gap: only kernel family with no wall record) ---
+    # Same ~12.5% symmetric-consistent sparse sample the driver queries use
+    # (the canonical graph is 2-connected, a trivial BCC fixture), euler
+    # strategy (diameter-safe O(log n) superstep path).
+    from pasgal_spark.graph import bcc as bccmod  # noqa: E402
+
+    sparse_sym = g.sym.filter(
+        "(least(src, dst) * 31 + greatest(src, dst) * 17) % 8 = 0"
+    ).localCheckpoint(eager=True)
+    timed(
+        "bcc_summary_euler",
+        lambda: bccmod.bcc_summary(sparse_sym, g.vertices, strategy="euler").collect(),
+    )
 
     # -- dedup + similarity -------------------------------------------------
     load_views(spark, sf_dir, ["documents", "embeddings"])

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pasgal_spark.plans.lineage import pin
+
 from pasgal_spark.functions.textstats import (
     portable_hash,
     shingles_from_tokens,
@@ -209,7 +211,7 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float = 0.7) ->
         )
         # Verified pairs ≪ corpus: materialize so the shingle cache can be
         # released before returning (no live-cache accumulation across calls).
-        return out.localCheckpoint(eager=True)
+        return out.transform(pin)
     finally:
         t.unpersist()
 
@@ -220,8 +222,8 @@ def near_dup_pipeline(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     entry point (pure stages above stay cache-free for oracle replay)."""
     docs = docs.cache()
     try:
-        piv = minhash_pivot(docs).localCheckpoint(eager=True)
-        pairs = lsh_candidate_pairs(docs, piv).localCheckpoint(eager=True)
+        piv = minhash_pivot(docs).transform(pin)
+        pairs = lsh_candidate_pairs(docs, piv).transform(pin)
         return jaccard_verify(docs, pairs, threshold)
     finally:
         docs.unpersist()
@@ -233,22 +235,37 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     Each distinct token votes ±1 per bit of its 32-bit hash; the fingerprint
     sets bits with positive vote sums. Exact-arithmetic formulation
     (floor-div by powers of two) so any engine reproduces it bit-for-bit.
+
+    All ``bits`` votes of a token travel as ONE array-of-lanes row (the
+    ``hyperplane_buckets`` fold idiom) and the per-doc vote sums are
+    ``bits`` lane aggregates in a single groupBy — one shuffle, no
+    per-bit row explosion (previously bits× rows through the first
+    exchange). Map-side combine partial-aggregates the lanes, so a hub
+    document contributes one combined row per map partition.
     """
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
-    h32 = (portable_hash(F.col("tok")) % F.lit(2**32)).alias("h32")
-    bitted = toks.select(
-        "doc_id",
-        h32,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    h = toks.select(
+        "doc_id", (portable_hash(F.col("tok")) % F.lit(2**32)).alias("h32")
     )
-    bit = (F.floor(F.col("h32") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2)
-    vote = (bit * 2 - 1).alias("vote")
-    per_bit = (
-        bitted.select("doc_id", "b", vote)
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
+    # materialize the lane array before aggregating (one h32 read per lane)
+    votes = F.array(
+        *[
+            (
+                (F.floor(F.col("h32") / F.pow(F.lit(2.0), F.lit(b))).cast("long") % 2)
+                * 2
+                - 1
+            )
+            for b in range(bits)
+        ]
     )
-    weight = F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(0)
-    return per_bit.groupBy("doc_id").agg(F.sum(weight).alias("simhash"))
+    v = h.select("doc_id", votes.alias("v"))
+    agg = v.groupBy("doc_id").agg(
+        *[F.sum(F.element_at(F.col("v"), b + 1)).alias(f"v{b}") for b in range(bits)]
+    )
+    fp = None
+    for b in range(bits):
+        w = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = w if fp is None else fp + w
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pasgal_spark.plans.lineage import pin
+
 from pasgal_spark.graph.kernels import _StateChain
 
 
@@ -175,7 +177,7 @@ def pagerank_blocked(
     base = (
         vertices.join(deg, vertices.id == deg.src, "left")
         .select(vertices.id, F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     has_dangling = base.filter("out_deg = 0").limit(1).count() > 0
     p = partitions or edges.sparkSession.sparkContext.defaultParallelism
@@ -244,7 +246,7 @@ def pagerank_arrow(
     base = (
         vertices.join(deg, vertices.id == deg.src, "left")
         .select(vertices.id, F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     has_dangling = base.filter("out_deg = 0").limit(1).count() > 0
     state = base.withColumn("rank", F.lit(1.0 / n))

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pasgal_spark.plans.lineage import pin
+
 from pasgal_spark.graph.kernels import connected_components_two_phase
 
 
@@ -58,13 +60,22 @@ def spanning_tree(
     roots = (
         cc.select(F.col("component").alias("id")).distinct()
         .select("id", F.col("id").alias("parent"), F.lit(0).alias("depth"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     visited = roots
     frontier = roots
     d = 0
-    while d < max_depth:
+    while True:
         d += 1
+        if d > max_depth:
+            # raise-don't-truncate (the scc budget idiom, directed.py): a
+            # silently partial tree would drop every edge past the cut in
+            # fence_filter's inner joins and mislabel those vertices.
+            raise RuntimeError(
+                f"spanning_tree: depth budget ({max_depth}) exhausted with a "
+                "live frontier; use bcc(..., strategy='euler') for "
+                "long-diameter graphs or raise max_depth"
+            )
         cand = (
             sym.join(frontier, sym.src == frontier.id)
             .select(sym.dst.alias("id"), sym.src.alias("parent"))
@@ -74,11 +85,11 @@ def spanning_tree(
             cand.groupBy("id")
             .agg(F.min("parent").alias("parent"))
             .withColumn("depth", F.lit(d))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(pin)
         frontier = nxt
     return visited.join(cc, "id").select("id", "parent", "depth", "component")
 
@@ -97,7 +108,7 @@ def _bottom_up(
     """
     fns = {"min": (F.min, F.least), "max": (F.max, F.greatest), "sum": (F.sum, None)}
     init = init.select("id", "parent", "depth", *[c for c, _ in agg_cols])
-    cur = init.filter(F.col("depth") == max_depth).localCheckpoint(eager=True)
+    cur = init.filter(F.col("depth") == max_depth).transform(pin)
     done = [cur]
     for d in range(max_depth - 1, -1, -1):
         contrib = cur.groupBy("parent").agg(
@@ -111,7 +122,7 @@ def _bottom_up(
                 outs.append((F.col(c) + F.coalesce(child, F.lit(0))).alias(c))
             else:
                 outs.append(fns[how][1](F.col(c), F.coalesce(child, F.col(c))).alias(c))
-        lvl = lvl.select("id", "parent", "depth", *outs).localCheckpoint(eager=True)
+        lvl = lvl.select("id", "parent", "depth", *outs).transform(pin)
         done.append(lvl)
         cur = lvl
     out = done[0]
@@ -144,12 +155,12 @@ def tree_tags(tree: DataFrame, sym: DataFrame) -> DataFrame:
     kids = (
         sizes.filter(F.col("depth") > 0)
         .withColumn("presum", F.sum("size").over(w) - F.col("size"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     first = (
         tree.filter(F.col("depth") == 0)
         .select("id", F.lit(0).cast("long").alias("first"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     cur = first
     for d in range(1, max_depth + 1):
@@ -159,11 +170,11 @@ def tree_tags(tree: DataFrame, sym: DataFrame) -> DataFrame:
             .select(
                 "id", (F.col("pf") + 1 + F.col("presum")).alias("first")
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         first = first.unionByName(lvl)
         cur = lvl
-    first = first.localCheckpoint(eager=True)
+    first = first.transform(pin)
 
     fl = (
         tree.join(first, "id")
@@ -172,7 +183,7 @@ def tree_tags(tree: DataFrame, sym: DataFrame) -> DataFrame:
             "id", "parent", "depth", "first",
             (F.col("first") + F.col("size") - 1).alias("last"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     # -- w1/w2: min/max first over NON-TREE incident edges ---------------
@@ -200,7 +211,7 @@ def tree_tags(tree: DataFrame, sym: DataFrame) -> DataFrame:
     return (
         fl.join(lowhigh.select("id", "low", "high"), "id")
         .select("id", "parent", "depth", "first", "last", "low", "high")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
 
@@ -260,7 +271,44 @@ def fence_filter(sym: DataFrame, tags: DataFrame) -> DataFrame:
     return e.filter(keep).select("src", "dst")
 
 
-def bcc(sym: DataFrame, vertices: DataFrame, cc: DataFrame | None = None) -> DataFrame:
+def bcc_tags(
+    sym: DataFrame,
+    vertices: DataFrame,
+    cc: DataFrame,
+    *,
+    strategy: str = "level",
+    max_depth: int = 200,
+) -> DataFrame:
+    """(id, parent, first, last, low, high): FAST-BCC tags via either
+    physical strategy — same interval-containment contract, so
+    ``fence_filter`` consumes both.
+
+    - ``level``: BFS forest + O(tree depth) level sweeps (this module) —
+      fewest shuffles on shallow web graphs; raises past ``max_depth``.
+    - ``euler``: Borůvka forest + list-ranked Euler tour + sparse-table
+      range-minmax (pasgal_spark.graph.euler) — O(log n) supersteps
+      regardless of diameter; the reference's own scale path
+      (fast-bcc.h:32-148).
+    """
+    if strategy == "euler":
+        from pasgal_spark.graph.euler import euler_bcc_tags
+
+        return euler_bcc_tags(sym, vertices, cc)
+    if strategy != "level":
+        raise ValueError(f"bcc strategy must be 'level' or 'euler', got {strategy!r}")
+    tree = spanning_tree(sym, vertices, cc, max_depth=max_depth)
+    return tree_tags(tree, sym).select(
+        "id", "parent", "first", "last", "low", "high"
+    )
+
+
+def bcc(
+    sym: DataFrame,
+    vertices: DataFrame,
+    cc: DataFrame | None = None,
+    *,
+    strategy: str = "level",
+) -> DataFrame:
     """(id, bcc): FAST-BCC cluster label per vertex (fast-bcc.h:226-259).
 
     ``bcc`` = min vertex id in the vertex's fence-filtered connectivity
@@ -271,14 +319,15 @@ def bcc(sym: DataFrame, vertices: DataFrame, cc: DataFrame | None = None) -> Dat
     """
     if cc is None:
         cc = connected_components_two_phase(sym, vertices)
-    tree = spanning_tree(sym, vertices, cc)
-    tags = tree_tags(tree, sym)
-    filtered = fence_filter(sym, tags).localCheckpoint(eager=True)
+    tags = bcc_tags(sym, vertices, cc, strategy=strategy)
+    filtered = fence_filter(sym, tags).transform(pin)
     labels = connected_components_two_phase(filtered, vertices)
     return labels.select("id", F.col("component").alias("bcc"))
 
 
-def bcc_edges(sym: DataFrame, vertices: DataFrame) -> DataFrame:
+def bcc_edges(
+    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+) -> DataFrame:
     """(src, dst, bcc) for src < dst: per-edge biconnected component.
 
     The BCC of an edge is the fence-cluster of its deeper endpoint
@@ -287,9 +336,8 @@ def bcc_edges(sym: DataFrame, vertices: DataFrame) -> DataFrame:
     cluster; for a dropped back edge the descendant's cluster.
     """
     cc = connected_components_two_phase(sym, vertices)
-    tree = spanning_tree(sym, vertices, cc)
-    tags = tree_tags(tree, sym)
-    filtered = fence_filter(sym, tags).localCheckpoint(eager=True)
+    tags = bcc_tags(sym, vertices, cc, strategy=strategy)
+    filtered = fence_filter(sym, tags).transform(pin)
     labels = connected_components_two_phase(filtered, vertices).select(
         "id", F.col("component").alias("lbl")
     )
@@ -313,14 +361,30 @@ def bcc_edges(sym: DataFrame, vertices: DataFrame) -> DataFrame:
     return e.select("src", "dst", deeper.alias("bcc"))
 
 
-def articulation_points(sym: DataFrame, vertices: DataFrame) -> DataFrame:
+def bcc_edges_canonical(
+    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+) -> DataFrame:
+    """(src, dst, bcc) with bcc relabeled to the cluster's minimum
+    normalized edge key ``min(src * 2^32 + dst)`` — a label that depends
+    only on the edge partition (which is unique), never on the spanning
+    tree, so it is oracle-checkable (VERDICT r2 canonicalization)."""
+    e = bcc_edges(sym, vertices, strategy=strategy)
+    key = (F.col("src") * F.lit(2 ** 32) + F.col("dst")).alias("ekey")
+    keyed = e.select("src", "dst", "bcc", key)
+    canon = keyed.groupBy("bcc").agg(F.min("ekey").alias("canon"))
+    return keyed.join(canon, "bcc").select("src", "dst", F.col("canon").alias("bcc"))
+
+
+def articulation_points(
+    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+) -> DataFrame:
     """(id): vertices whose removal disconnects their component.
 
     A vertex is an articulation point iff its incident edges span >= 2
     distinct biconnected components (the reference's component heads,
     fast-bcc.h:205-214, are exactly these).
     """
-    e = bcc_edges(sym, vertices)
+    e = bcc_edges(sym, vertices, strategy=strategy)
     both = e.select(F.col("src").alias("id"), "bcc").unionByName(
         e.select(F.col("dst").alias("id"), "bcc")
     )
@@ -332,14 +396,86 @@ def articulation_points(sym: DataFrame, vertices: DataFrame) -> DataFrame:
     )
 
 
-def bcc_summary(sym: DataFrame, vertices: DataFrame) -> DataFrame:
+def tarjan_vishkin_bcc_edges(
+    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+) -> DataFrame:
+    """(src, dst, bcc) for src < dst: per-edge BCC via the Tarjan-Vishkin
+    auxiliary graph — the reference's comparison baseline
+    (src/BCC/tarjan-vishkin.h:9-124), kept for the same purpose: an
+    independent assembly of the tags that differentially checks the
+    FAST-BCC fence path (``bcc_edges``).
+
+    Auxiliary-graph nodes are tree edges (keyed by child vertex); links:
+    (1) a cross non-tree edge {u, v} (neither endpoint an ancestor of
+    the other) links the endpoints' tree edges; (2) a tree edge (v, p)
+    links to (p, pp) iff subtree(v) escapes p's interval (the negation
+    of the fence's *critical* predicate). Aux connectivity labels tree
+    edges; a non-tree edge adopts its deeper endpoint's label.
+    """
+    cc = connected_components_two_phase(sym, vertices)
+    tags = bcc_tags(sym, vertices, cc, strategy=strategy)
+    ts = tags.select(
+        F.col("id").alias("src"), F.col("parent").alias("p_src"),
+        F.col("first").alias("f_src"), F.col("last").alias("l_src"),
+    )
+    td = tags.select(
+        F.col("id").alias("dst"), F.col("parent").alias("p_dst"),
+        F.col("first").alias("f_dst"), F.col("last").alias("l_dst"),
+    )
+    e = (
+        sym.filter(F.col("src") < F.col("dst"))
+        .join(ts, "src")
+        .join(td, "dst")
+        .transform(pin)
+    )
+    is_tree = (F.col("p_src") == F.col("dst")) | (F.col("p_dst") == F.col("src"))
+    anc_sd = (F.col("f_src") <= F.col("f_dst")) & (F.col("f_dst") <= F.col("l_src"))
+    anc_ds = (F.col("f_dst") <= F.col("f_src")) & (F.col("f_src") <= F.col("l_dst"))
+    cross_links = e.filter(~is_tree & ~anc_sd & ~anc_ds).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    nonroot = tags.filter(F.col("id") != F.col("parent"))
+    pt = tags.select(
+        F.col("id").alias("parent"), F.col("parent").alias("pp"),
+        F.col("first").alias("f_p"), F.col("last").alias("l_p"),
+    )
+    tree_links = (
+        nonroot.join(pt, "parent")
+        .filter(F.col("parent") != F.col("pp"))  # parent itself non-root
+        .filter((F.col("low") < F.col("f_p")) | (F.col("high") > F.col("l_p")))
+        .select(F.col("id").alias("a"), F.col("parent").alias("b"))
+    )
+    links = cross_links.unionByName(tree_links)
+    aux_sym = links.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(links.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    nodes = nonroot.select("id")
+    labels = connected_components_two_phase(aux_sym, nodes).select(
+        "id", F.col("component").alias("lbl")
+    )
+    child = F.when(
+        is_tree,
+        F.when(F.col("p_dst") == F.col("src"), F.col("dst")).otherwise(F.col("src")),
+    ).otherwise(
+        F.when(F.col("f_src") >= F.col("f_dst"), F.col("src")).otherwise(F.col("dst"))
+    )
+    return (
+        e.select("src", "dst", child.alias("id"))
+        .join(labels, "id")
+        .select("src", "dst", F.col("lbl").alias("bcc"))
+    )
+
+
+def bcc_summary(
+    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+) -> DataFrame:
     """One row (n_cc, n_bcc, largest_bcc_edges, n_bridges) — the
     reference's published artifact shape (src/BCC/fast-bcc.tsv:1,
     get_num_bcc at fast-bcc.h:261-282; bcc counted per distinct edge
     cluster, bridges = single-edge BCCs)."""
     cc = connected_components_two_phase(sym, vertices)
     n_cc = cc.select("component").distinct().count()
-    e = bcc_edges(sym, vertices)
+    e = bcc_edges(sym, vertices, strategy=strategy)
     per = e.groupBy("bcc").agg(F.count(F.lit(1)).alias("n_edges"))
     agg = per.agg(
         F.count(F.lit(1)).alias("n_bcc"),

@@ -27,13 +27,21 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pasgal_spark.plans.lineage import pin
+
 from pasgal_spark.graph.kernels import _StateChain
 
 
 def reachability(edges: DataFrame, source: int = 0, *, max_iterations: int = 100) -> DataFrame:
-    """(id) reachable from ``source`` over directed edges (incl. source)."""
+    """(id) reachable from ``source`` over directed edges (incl. source).
+
+    Raises if the superstep budget is exhausted with a live frontier —
+    a silently truncated reach set would make callers (``scc``) settle
+    wrong components; same raise-don't-truncate policy as ``scc``'s
+    round budget.
+    """
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(source,)], "id long").localCheckpoint(eager=True)
+    visited = spark.createDataFrame([(source,)], "id long").transform(pin)
     frontier = visited
     for _ in range(max_iterations):
         nxt = (
@@ -41,12 +49,17 @@ def reachability(edges: DataFrame, source: int = 0, *, max_iterations: int = 100
             .select(edges.dst.alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(pin)
         frontier = nxt
+    else:
+        raise RuntimeError(
+            f"reachability: frontier still live after {max_iterations} "
+            "supersteps; raise max_iterations (long-diameter graph)"
+        )
     return visited
 
 
@@ -62,7 +75,7 @@ def multi_reachability(
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(s, s) for s in sources], "id long, source long"
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     frontier = visited
     for _ in range(max_iterations):
         nxt = (
@@ -70,12 +83,17 @@ def multi_reachability(
             .select(edges.dst.alias("id"), "source")
             .distinct()
             .join(visited, ["id", "source"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(pin)
         frontier = nxt
+    else:
+        raise RuntimeError(
+            f"multi_reachability: frontier still live after {max_iterations} "
+            "supersteps; raise max_iterations (long-diameter graph)"
+        )
     return visited
 
 
@@ -96,7 +114,7 @@ def _min_label_to_fixpoint(
         )
         new = (
             labels.unionByName(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         s = new.agg(F.sum("lbl")).first()[0]
         converged = it > 0 and s == prev_sum
         prev_sum = s
@@ -139,20 +157,18 @@ def scc(
     rather than silently returning a partial result).
     """
     spark = edges.sparkSession
-    work_vertices = vertices.select("id").localCheckpoint(eager=True)
-    work_edges = edges.localCheckpoint(eager=True)
+    work_vertices = vertices.select("id").transform(pin)
+    work_edges = edges.transform(pin)
     settled_parts: list[DataFrame] = []
 
     def shrink(newly: DataFrame) -> None:
         nonlocal work_vertices, work_edges
-        work_vertices = work_vertices.join(newly, "id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        work_vertices = work_vertices.join(newly, "id", "left_anti").transform(pin)
         work_edges = (
             work_edges.join(newly.select(F.col("id").alias("src")), "src", "left_anti")
             .join(newly.select(F.col("id").alias("dst")), "dst", "left_anti")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
 
     # -- 1. trim ----------------------------------------------------------
@@ -163,7 +179,7 @@ def scc(
             work_vertices.join(outs, "id", "left_anti")
             .unionByName(work_vertices.join(ins, "id", "left_anti"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         if trivial.isEmpty():
             break
@@ -192,7 +208,7 @@ def scc(
             work_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
             source,
         )
-        giant = fwd.join(bwd, "id").localCheckpoint(eager=True)
+        giant = fwd.join(bwd, "id").transform(pin)
         lbl = giant.agg(F.min("id")).first()[0]
         settled_parts.append(giant.select("id", F.lit(lbl).cast("long").alias("scc")))
         shrink(giant)
@@ -224,7 +240,7 @@ def scc(
         lbls = members.groupBy("source").agg(F.min("id").alias("scc"))
         newly = (
             members.join(lbls, "source").select("id", "scc").distinct()
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         settled_parts.append(newly)
         shrink(newly)
         if on_round:
@@ -261,8 +277,8 @@ def scc_coloring(
     topologies (see tests/test_directed.py).
     """
     settled = None  # (id, scc)
-    work_edges = edges.localCheckpoint(eager=True)
-    work_vertices = vertices.select("id").localCheckpoint(eager=True)
+    work_edges = edges.transform(pin)
+    work_vertices = vertices.select("id").transform(pin)
 
     for _ in range(max_phases):
         if work_vertices.isEmpty():
@@ -283,13 +299,13 @@ def scc_coloring(
             )
             .filter("c_src = c_dst")
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))  # reversed
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         roots = colors.filter("id = color").select(
             "id", F.col("id").alias("source")
         )
         # backward frontier propagation from all roots at once
-        visited = roots.localCheckpoint(eager=True)
+        visited = roots.transform(pin)
         frontier = visited
         while True:
             nxt = (
@@ -297,11 +313,11 @@ def scc_coloring(
                 .select(ec.dst.alias("id"), "source")
                 .distinct()
                 .join(visited, ["id", "source"], "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(pin)
             )
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            visited = visited.unionByName(nxt).transform(pin)
             frontier = nxt
         # a vertex can only be backward-reached by its own color's root
         # (edges are color-internal and sources are the color roots)
@@ -311,16 +327,14 @@ def scc_coloring(
 
         settled = (
             newly if settled is None else settled.unionByName(newly)
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
 
-        work_vertices = work_vertices.join(newly, "id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        work_vertices = work_vertices.join(newly, "id", "left_anti").transform(pin)
         work_edges = (
             work_edges.join(newly.select(F.col("id").alias("src")), "src", "left_anti")
             .join(newly.select(F.col("id").alias("dst")), "dst", "left_anti")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     if settled is None:
         return vertices.sparkSession.createDataFrame([], "id long, scc long")
@@ -337,7 +351,7 @@ def spanning_forest(sym: DataFrame, vertices: DataFrame, cc: DataFrame) -> DataF
     """
     spark = sym.sparkSession
     roots = cc.select(F.col("component").alias("id")).distinct()
-    visited = roots.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    visited = roots.withColumn("dist", F.lit(0)).transform(pin)
     frontier = visited
     parents = None
     d = 0
@@ -350,14 +364,14 @@ def spanning_forest(sym: DataFrame, vertices: DataFrame, cc: DataFrame) -> DataF
         )
         nxt_parents = (
             cand.groupBy("id").agg(F.min("parent").alias("parent"))
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         if nxt_parents.isEmpty():
             break
         parents = (
             nxt_parents if parents is None else parents.unionByName(nxt_parents)
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         nxt = nxt_parents.select("id").withColumn("dist", F.lit(d))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(pin)
         frontier = nxt
     if parents is None:
         return spark.createDataFrame([], "child long, parent long, component long")

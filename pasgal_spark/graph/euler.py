@@ -1,0 +1,356 @@
+"""Diameter-independent FAST-BCC machinery: Borůvka forest + Euler tour.
+
+The level-sweep tagging in ``pasgal_spark.graph.bcc`` costs O(tree depth)
+supersteps — fine at web diameters (~650) but pathological on the
+reference's grid corpus (diameters 59k-102k,
+/root/reference/src/utils/diameter.tsv:8-9). This module re-derives the
+reference's own scale path (parallel Euler tour via list ranking,
+/root/reference/src/BCC/fast-bcc.h:32-148, and sparse-table range-minmax,
+/root/reference/src/sparse_table.h:7-59) as DataFrame supersteps whose
+count is O(log n) regardless of diameter:
+
+1. **Borůvka spanning forest** (`boruvka_forest`) — each component picks
+   its minimum incident cross edge, contracts, repeats: <= log2(n)
+   rounds, each a couple of joins/aggregates over the (static) edge
+   table. Replaces the O(diameter) BFS forest. (The reference derives
+   its forest from LDD+union-find connectivity,
+   src/BCC/spanning_forest.h:5-60; Borůvka is the classic
+   fixed-round-count alternative with the same output contract: a
+   deterministic spanning forest.)
+2. **Euler tour by list ranking** (`euler_tags`) — the tree's arc list is
+   threaded into a circuit by cyclic adjacency order, cut at each root,
+   and ranked by pointer doubling: ceil(log2(2n)) supersteps, each one
+   self-join. Vertex tags fall out as aggregates over entering arcs:
+   ``first(v)`` = 1 + min entering-arc position (root = 0), ``last(v)``
+   = 1 + max entering-arc position, ``parent(v)`` = tail of the min
+   entering arc. These are Euler *vertex-sequence* positions — the
+   reference's exact tag convention (fast-bcc.h:150-175), under which
+   ``u in subtree(v) <=> first[v] <= first[u] <= last[v]``.
+3. **Sparse-table range-minmax** (`subtree_minmax`) — ``low``/``high`` =
+   subtree min/max of non-tree-edge endpoint firsts, computed as range
+   queries over the vertex-sequence positions with a doubling block
+   table: O(log n) build levels of O(n) rows, one two-sided join per
+   query (the reference's sparse_table.h:7-59 usage at
+   fast-bcc.h:177-202, re-expressed relationally).
+
+Scale notes: no step's superstep count depends on graph diameter; every
+superstep is a bounded number of shuffles over O(m) or O(n) rows. The
+one skew caveat: the cyclic-adjacency window in ``euler_tags``
+partitions by vertex, so a tree hub (e.g. a star root) serializes its
+own adjacency sort — bounded by max tree degree, the same bound the
+reference's per-vertex adjacency build has.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pasgal_spark.plans.lineage import pin
+
+_B = 2 ** 32  # (a, b) -> a * 2^32 + b packing; ids asserted < 2^32
+
+
+def _assert_u32(vertices: DataFrame, who: str) -> None:
+    lo, hi = vertices.agg(F.min("id"), F.max("id")).first()
+    if lo is not None and (lo < 0 or hi >= _B):
+        raise ValueError(
+            f"{who}: vertex ids must lie in [0, 2^32) for edge-key packing; "
+            f"got range [{lo}, {hi}]"
+        )
+
+
+def boruvka_forest(
+    sym: DataFrame, vertices: DataFrame, *, max_rounds: int = 64
+) -> DataFrame:
+    """(a, b) with a < b: a deterministic spanning forest of ``sym``.
+
+    Borůvka rounds: every current component picks its minimum incident
+    cross edge (keyed ``least*2^32 + greatest`` — distinct keys, so the
+    picked edge set is acyclic by the standard argument), components
+    contract along picked edges (2-cycle break + pointer jumping), and
+    the round repeats on the contracted graph. Component count at least
+    halves per round => <= log2(n) rounds; pointer jumping inside a
+    round is O(log n) self-joins on the (small) component table.
+    """
+    _assert_u32(vertices, "boruvka_forest")
+    labels = vertices.select("id", F.col("id").alias("comp")).transform(pin)
+    forest_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        la = labels.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
+        lb = labels.select(F.col("id").alias("dst"), F.col("comp").alias("cb"))
+        key = F.least("src", "dst") * _B + F.greatest("src", "dst")
+        cross = (
+            sym.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("ca") != F.col("cb"))
+            .select("ca", "cb", key.alias("key"))
+        )
+        pick = cross.groupBy("ca").agg(F.min("key").alias("key"))
+        chosen = (
+            pick.join(cross, ["ca", "key"]).select("ca", "cb", "key").distinct()
+        ).transform(pin)
+        if chosen.isEmpty():
+            break
+        forest_parts.append(
+            chosen.select(
+                F.floor(F.col("key") / _B).cast("long").alias("a"),
+                (F.col("key") % _B).alias("b"),
+            ).distinct()
+        )
+        # contract: hook ca -> cb, break mutual 2-cycles toward the min id,
+        # then pointer-jump to roots (find_compress made declarative,
+        # /root/reference/external/connectivity.h:7-20).
+        p = chosen.select(F.col("ca").alias("c"), F.col("cb").alias("p"))
+        gp = p.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+        p = (
+            p.join(gp, "p", "left")
+            .select(
+                "c",
+                F.when(
+                    (F.col("gp") == F.col("c")) & (F.col("c") < F.col("p")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .transform(pin)
+        )
+        while True:
+            pmap = p.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+            j = p.join(pmap, "p", "left").select(
+                "c", "p", F.coalesce("gp", "p").alias("gp")
+            ).transform(pin)
+            changed = j.filter(F.col("gp") != F.col("p")).limit(1).count()
+            p = j.select("c", F.col("gp").alias("p"))
+            if changed == 0:
+                break
+        labels = (
+            labels.join(p.withColumnRenamed("c", "comp"), "comp", "left")
+            .select("id", F.coalesce("p", "comp").alias("comp"))
+            .transform(pin)
+        )
+    else:
+        raise RuntimeError(
+            f"boruvka_forest: cross edges remain after {max_rounds} rounds"
+        )
+    spark = vertices.sparkSession
+    if not forest_parts:
+        return spark.createDataFrame([], "a long, b long")
+    out = forest_parts[0]
+    for df in forest_parts[1:]:
+        out = out.unionByName(df)
+    return out.distinct().transform(pin)
+
+
+def euler_tags(forest: DataFrame, cc: DataFrame) -> DataFrame:
+    """(id, component, parent, first, last): Euler vertex-sequence tags.
+
+    ``forest``: (a, b) undirected tree edges; ``cc``: (id, component)
+    with component = min vertex id (the canonical root). List ranking by
+    pointer doubling — ceil(log2(#arcs)) supersteps — replaces the
+    reference's sampled list ranking (fast-bcc.h:32-148); the tags obey
+    the same interval-containment contract.
+    """
+    arcs = forest.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(forest.select(F.col("b").alias("u"), F.col("a").alias("v")))
+
+    # cyclic successor in each vertex's sorted adjacency; the wrap row is
+    # the one whose next equals the minimum neighbor
+    wuo = Window.partitionBy("u").orderBy("v")
+    wu = Window.partitionBy("u")
+    adj = (
+        arcs.select("u", "v")
+        .withColumn("nv", F.coalesce(F.lead("v").over(wuo), F.min("v").over(wu)))
+        .withColumn("minv", F.min("v").over(wu))
+    )
+    roots = cc.select(F.col("component").alias("u")).distinct().withColumn(
+        "is_root", F.lit(True)
+    )
+    adj = adj.join(roots, "u", "left")
+    # succ((v -> u)) = (u -> next neighbor of u after v); cut the circuit
+    # at each root's wrap so it becomes a list headed by (root -> min nbr)
+    state = adj.select(
+        (F.col("v") * _B + F.col("u")).alias("ak"),
+        F.when(
+            F.col("is_root").isNotNull() & (F.col("nv") == F.col("minv")),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.col("u") * _B + F.col("nv"))
+        .alias("p"),
+    )
+    n_arcs = state.count()
+    state = state.withColumn(
+        "d", F.when(F.col("p").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long")
+    ).transform(pin)
+    # pointer doubling: after k rounds each arc's pointer has advanced
+    # 2^k steps (or hit the tail); d accumulates the step count
+    for _ in range(max(1, math.ceil(math.log2(max(n_arcs, 2)))) + 1):
+        mp = state.select(
+            F.col("ak").alias("p"), F.col("p").alias("pp"), F.col("d").alias("pd")
+        )
+        state = (
+            state.join(mp, "p", "left")
+            .select(
+                "ak",
+                F.when(F.col("p").isNull(), F.lit(None).cast("long"))
+                .otherwise(F.col("pp"))
+                .alias("p"),
+                F.when(F.col("p").isNull(), F.col("d"))
+                .otherwise(F.col("d") + F.col("pd"))
+                .alias("d"),
+            )
+            .transform(pin)
+        )
+
+    # arc positions: pos = (per-tree arc count - 1) - (steps to tail)
+    compu = cc.select(F.col("id").alias("u"), "component")
+    arcsc = arcs.join(compu, "u").select(
+        (F.col("u") * _B + F.col("v")).alias("ak"), "component", "u", "v"
+    )
+    per_tree = arcsc.groupBy("component").agg(F.count(F.lit(1)).alias("n_arcs"))
+    ranked = (
+        arcsc.join(state.select("ak", "d"), "ak")
+        .join(per_tree, "component")
+        .select(
+            "component", "u", "v", (F.col("n_arcs") - 1 - F.col("d")).alias("pos")
+        )
+    )
+    # vertex tags from entering arcs; the root is visited at position 0
+    ent = ranked.groupBy("v").agg(
+        F.min("pos").alias("minp"),
+        F.max("pos").alias("maxp"),
+        F.min_by("u", "pos").alias("par"),
+    )
+    is_root = F.col("id") == F.col("component")
+    return (
+        cc.join(ent.withColumnRenamed("v", "id"), "id", "left")
+        .select(
+            "id",
+            "component",
+            F.when(is_root, F.col("id")).otherwise(F.col("par")).alias("parent"),
+            F.when(is_root, F.lit(0).cast("long"))
+            .otherwise(F.col("minp") + 1)
+            .alias("first"),
+            F.coalesce(F.col("maxp") + 1, F.lit(0).cast("long")).alias("last"),
+        )
+        .transform(pin)
+    )
+
+
+def subtree_minmax(tags: DataFrame, sym: DataFrame) -> DataFrame:
+    """(id, parent, first, last, low, high): add FAST-BCC low/high tags.
+
+    w1/w2 per vertex = min/max over {own first} ∪ {firsts of non-tree
+    neighbors} (fast-bcc.h:177-202); low/high = min/max of w1/w2 over
+    the subtree. A subtree is the vertex-sequence interval
+    [first(v), last(v)] and every subtree vertex's w-values sit at its
+    own ``first`` position, so low/high are range-min/max queries served
+    by a doubling sparse table keyed (component, level, position) —
+    O(log n) build supersteps, diameter-independent.
+    """
+    ps = tags.select(
+        F.col("id").alias("src"),
+        F.col("parent").alias("p_src"),
+        F.col("first").alias("f_src"),
+    )
+    pd_ = tags.select(F.col("id").alias("dst"), F.col("parent").alias("p_dst"))
+    nt = (
+        sym.join(ps, "src")
+        .join(pd_, "dst")
+        .filter((F.col("p_dst") != F.col("src")) & (F.col("p_src") != F.col("dst")))
+        .groupBy("dst")
+        .agg(F.min("f_src").alias("nt_min"), F.max("f_src").alias("nt_max"))
+        .withColumnRenamed("dst", "id")
+    )
+    base = (
+        tags.join(nt, "id", "left")
+        .select(
+            "id",
+            "component",
+            "parent",
+            "first",
+            "last",
+            F.least("first", F.coalesce("nt_min", "first")).alias("w1"),
+            F.greatest("first", F.coalesce("nt_max", "first")).alias("w2"),
+        )
+        .transform(pin)
+    )
+
+    max_last = base.agg(F.max("last")).first()[0] or 0
+    n_levels = max(1, math.ceil(math.log2(max_last + 2)))
+    cur = base.select(
+        "component",
+        F.col("first").alias("pos"),
+        F.col("w1").alias("mn"),
+        F.col("w2").alias("mx"),
+    ).withColumn("k", F.lit(0))
+    levels = [cur.transform(pin)]
+    for k in range(1, n_levels + 1):
+        half = 2 ** (k - 1)
+        prev = levels[-1].select("component", "pos", "mn", "mx")
+        shifted = prev.select(
+            "component", (F.col("pos") - half).alias("pos"), "mn", "mx"
+        ).filter(F.col("pos") >= 0)
+        nxt = (
+            prev.unionByName(shifted)
+            .groupBy("component", "pos")
+            .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+            .withColumn("k", F.lit(k))
+            .transform(pin)
+        )
+        levels.append(nxt)
+    st = levels[0]
+    for lv in levels[1:]:
+        st = st.unionByName(lv)
+
+    # query [first, last] as the min/max over two overlapping 2^k blocks
+    # (k = floor(log2(len)) computed exactly via the binary-string length)
+    q = base.select("id", "component", "parent", "first", "last").withColumn(
+        "len", F.col("last") - F.col("first") + 1
+    )
+    q = q.withColumn("k", (F.length(F.bin(F.col("len"))) - 1).cast("int"))
+    # 2^k as a long (exact for k <= 52; len <= 2n keeps k far below that)
+    p2 = F.pow(F.lit(2.0), F.col("k")).cast("long")
+    q = q.withColumn("l", F.col("first")).withColumn("r2", F.col("last") - p2 + 1)
+    m1 = st.select(
+        "component",
+        "k",
+        F.col("pos").alias("l"),
+        F.col("mn").alias("mn1"),
+        F.col("mx").alias("mx1"),
+    )
+    m2 = st.select(
+        "component",
+        "k",
+        F.col("pos").alias("r2"),
+        F.col("mn").alias("mn2"),
+        F.col("mx").alias("mx2"),
+    )
+    return (
+        q.join(m1, ["component", "k", "l"], "left")
+        .join(m2, ["component", "k", "r2"], "left")
+        .select(
+            "id",
+            "parent",
+            "first",
+            "last",
+            F.least(F.coalesce("mn1", "mn2"), F.coalesce("mn2", "mn1")).alias("low"),
+            F.greatest(F.coalesce("mx1", "mx2"), F.coalesce("mx2", "mx1")).alias(
+                "high"
+            ),
+        )
+        .transform(pin)
+    )
+
+
+def euler_bcc_tags(sym: DataFrame, vertices: DataFrame, cc: DataFrame) -> DataFrame:
+    """(id, parent, first, last, low, high): full FAST-BCC tag set with an
+    O(log n) superstep bound — the diameter-safe alternative to
+    ``bcc.tree_tags`` (drop-in for ``bcc.fence_filter``)."""
+    forest = boruvka_forest(sym, vertices)
+    tags = euler_tags(forest, cc)
+    return subtree_minmax(tags, sym)

@@ -42,11 +42,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pasgal_spark.plans.lineage import pin
+
 
 def _truncate(df: DataFrame, it: int, every: int) -> DataFrame:
     """Eagerly materialize + cut lineage every ``every`` supersteps."""
     if every and it % every == every - 1:
-        return df.localCheckpoint(eager=True)
+        return df.transform(pin)
     return df
 
 
@@ -72,7 +74,7 @@ class _StateChain:
     def advance(self, df: DataFrame, *, force: bool = False) -> DataFrame:
         self._gen += 1
         if force or self._gen % self.every == 0:
-            out = df.localCheckpoint(eager=True)
+            out = df.transform(pin)
             for c in self._live:
                 c.unpersist()
             self._live = []
@@ -145,7 +147,7 @@ def pagerank(
     base = (
         vertices.join(deg, vertices.id == deg.src, "left")
         .select(vertices.id, F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     state = base.withColumn("rank", F.lit(1.0 / n))
     chain = _StateChain(checkpoint_every)
@@ -331,7 +333,7 @@ def connected_components_two_phase(
         labels = _truncate(new, it, checkpoint_every)
         if on_round:
             on_round(it)
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(pin)
 
     # Phase 2: residual cluster graph — distinct inter-cluster pairs only.
     lu = labels.select(F.col("id").alias("src"), F.col("component").alias("cu"))
@@ -462,6 +464,17 @@ def ldd(
     """
     from pasgal_spark.functions.textstats import portable_hash
 
+    # Dense-NodeId precondition (the reference's uint32 NodeId,
+    # src/graph.h:53): the (cost, center) pack is cost * 2^32 + id, so ids
+    # outside [0, 2^32) would silently corrupt both fields. One aggregate,
+    # paid once per call.
+    lo, hi = vertices.agg(F.min("id"), F.max("id")).first()
+    if lo is not None and (lo < 0 or hi >= 2 ** 32):
+        raise ValueError(
+            f"ldd: vertex ids must lie in [0, 2^32) for (cost, center) "
+            f"packing; got range [{lo}, {hi}]"
+        )
+
     h = portable_hash(F.col("id").cast("string"))
     start = F.when(h % F.lit(2 ** beta_cap) == 0, F.lit(0))
     for j in range(beta_cap - 1, 0, -1):
@@ -481,7 +494,7 @@ def ldd(
         )
         state = (
             state.unionByName(msgs).groupBy("id").agg(F.min("key").alias("key"))
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     return state.select(
         "id",
         (F.col("key") % big).alias("label"),
@@ -562,10 +575,17 @@ def bfs(
                 .withColumn("dist", F.lit(d))
             )
         nxt = _truncate(nxt, d, checkpoint_every)
-        frontier_size = nxt.count()
+        if n is not None:
+            # dense switch needs exact sizes
+            frontier_size = nxt.count()
+            empty = frontier_size == 0
+        else:
+            # pure-push path: a limit-1 probe beats a full frontier scan
+            frontier_size = -1
+            empty = nxt.isEmpty()
         if on_superstep:
             on_superstep(d, "pull" if dense else "push", frontier_size)
-        if frontier_size == 0:
+        if empty:
             break
         visited_size += frontier_size
         visited = _truncate(visited.unionByName(nxt), d, checkpoint_every)
@@ -634,9 +654,7 @@ def sssp_delta_stepping(
     physical superstep schedule differs.
     """
     spark = wedges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], "id long, dist long").localCheckpoint(
-        eager=True
-    )
+    dist = spark.createDataFrame([(source, 0)], "id long, dist long").transform(pin)
     threshold = delta
     prev_sig = (1, 0)  # signature of the initial single-row state
     for _ in range(max_iterations):
@@ -649,7 +667,7 @@ def sssp_delta_stepping(
         )
         new = (
             dist.unionByName(relaxed).groupBy("id").agg(F.min("dist").alias("dist"))
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         sig = tuple(new.agg(F.count(F.lit(1)), F.sum("dist")).first())
         bucket_done = sig == prev_sig
         prev_sig = sig
@@ -683,9 +701,7 @@ def sssp_rho_stepping(
     physical superstep schedule differs, so the same SQL oracle applies.
     """
     spark = wedges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], "id long, dist long").localCheckpoint(
-        eager=True
-    )
+    dist = spark.createDataFrame([(source, 0)], "id long, dist long").transform(pin)
     settled_upto = 0  # every dist < settled_upto is final (positive weights)
     prev_sig = (1, 0)  # signature of the initial single-row state
     budget = max_iterations  # bounds total supersteps across all buckets
@@ -708,7 +724,7 @@ def sssp_rho_stepping(
             )
             new = (
                 dist.unionByName(relaxed).groupBy("id").agg(F.min("dist").alias("dist"))
-            ).localCheckpoint(eager=True)
+            ).transform(pin)
             sig = tuple(new.agg(F.count(F.lit(1)), F.sum("dist")).first())
             bucket_done = sig == prev_sig
             prev_sig = sig
@@ -759,7 +775,7 @@ def triangle_count(sym: DataFrame) -> DataFrame:
         )
         # 1-row result: materialize so the oriented-edge cache can be released
         # before returning (repeated calls must not accumulate live caches).
-        return tri.localCheckpoint(eager=True)
+        return tri.transform(pin)
     finally:
         e.unpersist()
 

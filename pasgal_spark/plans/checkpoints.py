@@ -32,6 +32,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pasgal_spark.plans.lineage import pin
+
 from pasgal_spark.graph.kernels import salted_sum
 
 
@@ -86,7 +88,7 @@ class CheckpointedPageRank:
         self.base = (
             vertices.join(deg, vertices.id == deg.src, "left")
             .select(vertices.id, F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
 
     # -- metrics ------------------------------------------------------------
@@ -176,7 +178,7 @@ class CheckpointedPageRank:
 
         while it < max_supersteps:
             t0 = time.time()
-            new_state = self._superstep(state).localCheckpoint(eager=True)
+            new_state = self._superstep(state).transform(pin)
             # prev_rank rides along in the superstep output: the delta is one
             # aggregate over cached blocks, not a join against the old state.
             delta = new_state.agg(

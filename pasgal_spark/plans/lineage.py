@@ -1,0 +1,50 @@
+"""Lineage truncation that also resets Catalyst's inherited statistics.
+
+``pin(df)`` is the engine's materialize-and-truncate primitive, used by
+every iterative kernel in place of a bare ``localCheckpoint``.
+
+Why not plain ``localCheckpoint``: in Spark 4 (classic) a checkpoint's
+``LogicalRDD`` *inherits* the statistics of the plan it truncates
+(``LogicalRDD.rewriteStatsAndConstraints``, sql/execution/ExistingRDD).
+Catalyst's size-only stats visitor multiplies child sizes at every join,
+so a superstep that references the previous generation twice (message
+join + convergence/self join) doubles the carried ``sizeInBytes`` bit
+length — and because checkpoints *propagate* the product instead of
+resetting it, an iterative pipeline with G generations carries
+``O(2^G)``-bit BigIntegers. Measured here: the 40+-generation BCC euler
+path spent 20+ minutes of driver CPU inside ``BigInteger.multiply``
+during planning (stack: ``SizeInBytesOnlyStatsPlanVisitor`` →
+``rewriteStatsAndConstraints`` → ``Dataset.checkpoint``).
+
+``pin`` materializes via eager ``localCheckpoint`` (same fault-tolerance
+story) and then rebuilds the DataFrame directly over the checkpointed
+``RDD[InternalRow]`` (``SparkSession.internalCreateDataFrame``), which
+constructs a fresh ``LogicalRDD`` *without* the stats rewrite — its
+sizeInBytes is the conf default, so per-generation stats stay O(1) bits
+and planning cost is flat no matter how many supersteps run. Join
+strategy is unaffected: state relations were never auto-broadcast
+anyway (both the inherited product and the default exceed any broadcast
+threshold); explicit ``F.broadcast`` hints still apply.
+
+On a cluster the same role is played by parquet/Iceberg checkpoints
+(``pasgal_spark.plans.checkpoints``), whose read-back scans carry real
+file-size stats — naturally bounded. ``pin`` is the in-memory analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df``, truncate lineage, and reset plan stats."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf  # type: ignore[attr-defined]
+        jrdd = jdf.queryExecution().toRdd()
+        jschema = jdf.schema()
+        jss = ck.sparkSession._jsparkSession  # type: ignore[attr-defined]
+        fresh = jss.internalCreateDataFrame(jrdd, jschema, False)
+        return DataFrame(fresh, ck.sparkSession)
+    except Exception:  # pragma: no cover - non-classic sessions (Connect)
+        return ck

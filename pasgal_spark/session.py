@@ -46,6 +46,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Iterative kernels re-read small state DataFrames many times.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Stats guard for iterative plans: relations without statistics
+        # (localCheckpoint LogicalRDDs — every superstep state) default to
+        # sizeInBytes = Long.MaxValue (2^63). Catalyst's size-only stats
+        # visitor MULTIPLIES child sizes at each join, so a plan stacking
+        # tens of joins/self-joins over checkpointed state (every kernel
+        # here) makes sizeInBytes a BigInteger with millions of bits —
+        # measured 20+ min of driver CPU inside BigInteger.multiply during
+        # planning of the BCC euler path. A finite default (1 TiB) keeps
+        # products tiny while still far above any broadcast threshold, so
+        # join strategy choices are unchanged.
+        .config("spark.sql.defaultSizeInBytes", str(1 << 40))
         # Quiet local runs.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")

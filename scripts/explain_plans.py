@@ -36,6 +36,25 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def _edge_side_unshuffled(plan: str) -> bool:
+    """True iff no Exchange sits between the superstep join and the edge
+    cache's scan: in the formatted tree, the slice from the join operator
+    down to the first ``InMemoryTableScan`` must be Exchange-free (the
+    Exchanges *inside* the InMemoryRelation's stored derivation plan are
+    the one-time cache materialization, not per-superstep work)."""
+    lines = plan.splitlines()
+    join_i = next(
+        (i for i, ln in enumerate(lines) if "HashJoin" in ln or "SortMergeJoin" in ln),
+        None,
+    )
+    scan_i = next(
+        (i for i, ln in enumerate(lines) if "InMemoryTableScan" in ln), None
+    )
+    if join_i is None or scan_i is None or scan_i < join_i:
+        return False
+    return not any("Exchange (" in ln for ln in lines[join_i:scan_i])
+
+
 def check(name: str, plan: str, must: list[str], must_not: list[str]) -> None:
     print(f"== {name} ==")
     ok = True
@@ -88,6 +107,7 @@ def main() -> None:
         must=["InMemoryTableScan", "HashAggregate", "codegen id"],
         must_not=[],
     )
+    print(f"  [{'x' if _edge_side_unshuffled(p) else ' '}] cached edge side not re-exchanged")
 
     # 3. exact_dedup: the text column must be reduced to its digest at the
     #    scan — no Exchange may carry the payload (What's-wrong #1, r1).
@@ -111,6 +131,48 @@ def main() -> None:
     print(f"  [{'x' if not text_in_exchange else ' '}] no Exchange carries text")
     if text_in_exchange:
         print("  FAIL (text column in an exchange)")
+
+    # 3b. two-phase CC shrink superstep: the (cached, pre-partitioned) edge
+    #     side must not re-Exchange — only the small label state moves
+    #     (same no-re-shuffle property as the PageRank superstep).
+    g.sym.count()
+    labels = g.vertices.select("id", g.vertices.id.alias("component"))
+    shrink = (
+        g.sym.join(labels, g.sym.src == labels.id)
+        .select(g.sym.dst.alias("id"), "component")
+        .unionByName(labels)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+    p = plan_of(shrink)
+    check(
+        "two-phase CC shrink superstep",
+        p,
+        must=["InMemoryTableScan", "HashAggregate"],
+        must_not=[],
+    )
+    print(f"  [{'x' if _edge_side_unshuffled(p) else ' '}] cached edge side not re-exchanged")
+    if not _edge_side_unshuffled(p):
+        print("  FAIL (Exchange between the join and the edge cache scan)")
+        print(p[:2500])
+
+    # 3c. BCC level superstep (spanning_tree expansion): edge side cached,
+    #     frontier side is the only moving relation.
+    frontier = g.vertices.limit(4).select("id", g.vertices.id.alias("parent"))
+    level = (
+        g.sym.join(frontier, g.sym.src == frontier.id)
+        .select(g.sym.dst.alias("id"), g.sym.src.alias("parent"))
+        .groupBy("id")
+        .agg(F.min("parent").alias("parent"))
+    )
+    p = plan_of(level)
+    check(
+        "bcc level superstep",
+        p,
+        must=["InMemoryTableScan", "HashAggregate"],
+        must_not=[],
+    )
+    print(f"  [{'x' if _edge_side_unshuffled(p) else ' '}] cached edge side not re-exchanged")
 
     # 4. extractor: Python only at the extraction boundary
     from pasgal_spark.sources.pages import pages_from_documents

@@ -21,10 +21,10 @@ def _sym_pairs(pairs):
     return sorted(s)
 
 
-def _spark_edge_groups(spark, n, pairs):
+def _spark_edge_groups(spark, n, pairs, strategy="level"):
     sym = edges_df(spark, _sym_pairs(pairs))
     vertices = vertices_df(spark, range(n))
-    rows = bccmod.bcc_edges(sym, vertices).collect()
+    rows = bccmod.bcc_edges(sym, vertices, strategy=strategy).collect()
     groups = {}
     for r in rows:
         groups.setdefault(r["bcc"], set()).add((r["src"], r["dst"]))
@@ -46,18 +46,20 @@ PATH = [(i, i + 1) for i in range(6)]
 THETA = [(0, 1), (1, 2), (2, 5), (0, 3), (3, 5), (0, 4), (4, 5)]
 
 
+@pytest.mark.parametrize("strategy", ["level", "euler"])
 @pytest.mark.parametrize(
     "pairs,n",
     [(FIG8, 8), (CHORD, 5), (PATH, 7), (THETA, 6)],
     ids=["figure8", "chord", "path", "theta"],
 )
-def test_bcc_edge_partition_matches_hopcroft_tarjan(spark, pairs, n):
-    got = _spark_edge_groups(spark, n, pairs)
+def test_bcc_edge_partition_matches_hopcroft_tarjan(spark, pairs, n, strategy):
+    got = _spark_edge_groups(spark, n, pairs, strategy)
     want = bcc_oracle(n, pairs)
     assert got == want
 
 
-def test_bcc_random_graph_matches_oracle(spark):
+@pytest.mark.parametrize("strategy", ["level", "euler"])
+def test_bcc_random_graph_matches_oracle(spark, strategy):
     # Deterministic hash-derived graph (the reference's synthetic idiom,
     # src/graph.h:397-433): ~2n edges over n=40 vertices, plus a guaranteed
     # bridge chain hanging off vertex 0.
@@ -69,9 +71,64 @@ def test_bcc_random_graph_matches_oracle(spark):
         if u != v:
             pairs.append((u, v))
     pairs += [(0, n), (n, n + 1)]
-    got = _spark_edge_groups(spark, n + 2, pairs)
+    got = _spark_edge_groups(spark, n + 2, pairs, strategy)
     want = bcc_oracle(n + 2, pairs)
     assert got == want
+
+
+def _long_diameter_pairs():
+    """Grid-class fixture (reference diameter corpus,
+    src/utils/diameter.tsv:8-9): an 800-vertex chain with a cycle chord
+    every 8 hops on the first half — diameter ~400, BCCs = 50 eight-edge
+    cycles + ~400 bridges."""
+    n = 800
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    pairs += [(i, i + 8) for i in range(0, n // 2, 8)]
+    return n, pairs
+
+
+def test_bcc_euler_long_diameter_matches_oracle(spark):
+    """The level-sweep path would need ~diameter supersteps here; the
+    euler strategy (Borůvka + list ranking + sparse table) stays
+    O(log n) and must still match Hopcroft-Tarjan exactly."""
+    n, pairs = _long_diameter_pairs()
+    got = _spark_edge_groups(spark, n, pairs, "euler")
+    want = bcc_oracle(n, pairs)
+    assert got == want
+
+
+def test_spanning_tree_raises_instead_of_truncating(spark):
+    """No silent-partial path: a component deeper than max_depth must
+    raise (the scc budget idiom), never return a truncated tree."""
+    pairs = [(i, i + 1) for i in range(30)]
+    sym = edges_df(spark, _sym_pairs(pairs))
+    vertices = vertices_df(spark, range(31))
+    from pasgal_spark.graph.kernels import connected_components_two_phase
+
+    cc = connected_components_two_phase(sym, vertices)
+    with pytest.raises(RuntimeError, match="depth budget"):
+        bccmod.spanning_tree(sym, vertices, cc, max_depth=10)
+
+
+def test_bcc_edges_canonical_labels_are_min_edge_keys(spark):
+    """Canonical per-edge labels: every cluster's label equals the min
+    normalized edge key in the cluster, and level/euler strategies agree
+    exactly (tree-independence of the canonical form)."""
+    n = 8
+    sym = edges_df(spark, _sym_pairs(FIG8))
+    vertices = vertices_df(spark, range(n))
+    lvl = {
+        (r["src"], r["dst"]): r["bcc"]
+        for r in bccmod.bcc_edges_canonical(sym, vertices, strategy="level").collect()
+    }
+    eul = {
+        (r["src"], r["dst"]): r["bcc"]
+        for r in bccmod.bcc_edges_canonical(sym, vertices, strategy="euler").collect()
+    }
+    assert lvl == eul
+    for (s, d), lbl in lvl.items():
+        keys = [s2 * 2**32 + d2 for (s2, d2), l2 in lvl.items() if l2 == lbl]
+        assert lbl == min(keys)
 
 
 def test_bcc_vertex_labels_cover_all_vertices(spark):
@@ -82,6 +139,25 @@ def test_bcc_vertex_labels_cover_all_vertices(spark):
     assert {r["id"] for r in rows} == set(range(n))
     # one label per vertex
     assert len(rows) == n
+
+
+@pytest.mark.parametrize(
+    "pairs,n",
+    [(FIG8, 8), (CHORD, 5), (THETA, 6)],
+    ids=["figure8", "chord", "theta"],
+)
+def test_tarjan_vishkin_differential(spark, pairs, n):
+    """The reference keeps Tarjan-Vishkin as FAST-BCC's comparison baseline
+    (src/BCC/tarjan-vishkin.h:9-124); same use here — an independent
+    aux-graph assembly must yield the identical edge partition."""
+    sym = edges_df(spark, _sym_pairs(pairs))
+    vertices = vertices_df(spark, range(n))
+    rows = bccmod.tarjan_vishkin_bcc_edges(sym, vertices).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["bcc"], set()).add((r["src"], r["dst"]))
+    got = set(frozenset(g) for g in groups.values())
+    assert got == bcc_oracle(n, pairs)
 
 
 def test_articulation_points_match_oracle(spark):
