@@ -326,7 +326,11 @@ def bcc(
 
 
 def bcc_edges(
-    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    strategy: str = "level",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, bcc) for src < dst: per-edge biconnected component.
 
@@ -334,8 +338,11 @@ def bcc_edges(
     (larger ``first``): for a critical tree edge that is the child's
     cluster (parent = head); for surviving edges both endpoints share a
     cluster; for a dropped back edge the descendant's cluster.
+    ``cc``: optionally reuse an already-computed connectivity labeling
+    (callers like ``bcc_summary`` need it anyway — saves a full CC pass).
     """
-    cc = connected_components_two_phase(sym, vertices)
+    if cc is None:
+        cc = connected_components_two_phase(sym, vertices)
     tags = bcc_tags(sym, vertices, cc, strategy=strategy)
     filtered = fence_filter(sym, tags).transform(pin)
     labels = connected_components_two_phase(filtered, vertices).select(
@@ -473,9 +480,9 @@ def bcc_summary(
     reference's published artifact shape (src/BCC/fast-bcc.tsv:1,
     get_num_bcc at fast-bcc.h:261-282; bcc counted per distinct edge
     cluster, bridges = single-edge BCCs)."""
-    cc = connected_components_two_phase(sym, vertices)
+    cc = connected_components_two_phase(sym, vertices).transform(pin)
     n_cc = cc.select("component").distinct().count()
-    e = bcc_edges(sym, vertices, strategy=strategy)
+    e = bcc_edges(sym, vertices, strategy=strategy, cc=cc)
     per = e.groupBy("bcc").agg(F.count(F.lit(1)).alias("n_edges"))
     agg = per.agg(
         F.count(F.lit(1)).alias("n_bcc"),

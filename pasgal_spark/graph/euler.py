@@ -118,13 +118,23 @@ def boruvka_forest(
             )
             .transform(pin)
         )
+        def _jump(s: DataFrame) -> DataFrame:
+            pmap = s.select(F.col("c").alias("p"), F.col("p").alias("gp"))
+            return s.join(pmap, "p", "left").select(
+                "c", F.coalesce("gp", "p").alias("p")
+            )
+
         while True:
-            pmap = p.select(F.col("c").alias("p"), F.col("p").alias("gp"))
-            j = p.join(pmap, "p", "left").select(
-                "c", "p", F.coalesce("gp", "p").alias("gp")
-            ).transform(pin)
-            changed = j.filter(F.col("gp") != F.col("p")).limit(1).count()
-            p = j.select("c", F.col("gp").alias("p"))
+            # two pointer-doubling hops per convergence probe (the probe is
+            # a driver action; halving probes halves the job count)
+            j = _jump(_jump(p)).transform(pin)
+            changed = (
+                j.join(_jump(j).withColumnRenamed("p", "p2"), "c")
+                .filter(F.col("p2") != F.col("p"))
+                .limit(1)
+                .count()
+            )
+            p = j
             if changed == 0:
                 break
         labels = (
@@ -187,24 +197,27 @@ def euler_tags(forest: DataFrame, cc: DataFrame) -> DataFrame:
         "d", F.when(F.col("p").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long")
     ).transform(pin)
     # pointer doubling: after k rounds each arc's pointer has advanced
-    # 2^k steps (or hit the tail); d accumulates the step count
-    for _ in range(max(1, math.ceil(math.log2(max(n_arcs, 2)))) + 1):
-        mp = state.select(
+    # 2^k steps (or hit the tail); d accumulates the step count. Two
+    # doublings per materialization: the intermediate plan is only two
+    # self-joins deep (cheap for Catalyst with pin-reset stats) and the
+    # job count halves.
+    def _double(s: DataFrame) -> DataFrame:
+        mp = s.select(
             F.col("ak").alias("p"), F.col("p").alias("pp"), F.col("d").alias("pd")
         )
-        state = (
-            state.join(mp, "p", "left")
-            .select(
-                "ak",
-                F.when(F.col("p").isNull(), F.lit(None).cast("long"))
-                .otherwise(F.col("pp"))
-                .alias("p"),
-                F.when(F.col("p").isNull(), F.col("d"))
-                .otherwise(F.col("d") + F.col("pd"))
-                .alias("d"),
-            )
-            .transform(pin)
+        return s.join(mp, "p", "left").select(
+            "ak",
+            F.when(F.col("p").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.col("pp"))
+            .alias("p"),
+            F.when(F.col("p").isNull(), F.col("d"))
+            .otherwise(F.col("d") + F.col("pd"))
+            .alias("d"),
         )
+
+    rounds = max(1, math.ceil(math.log2(max(n_arcs, 2)))) + 1
+    for _ in range((rounds + 1) // 2):
+        state = _double(_double(state)).transform(pin)
 
     # arc positions: pos = (per-tree arc count - 1) - (steps to tail)
     compu = cc.select(F.col("id").alias("u"), "component")
@@ -300,8 +313,12 @@ def subtree_minmax(tags: DataFrame, sym: DataFrame) -> DataFrame:
             .groupBy("component", "pos")
             .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
             .withColumn("k", F.lit(k))
-            .transform(pin)
         )
+        # materialize every 2nd level: odd levels stay lazy (recomputed from
+        # the pinned even level below them — one extra O(n) aggregate) in
+        # exchange for half the materialization jobs
+        if k % 2 == 0 or k == n_levels:
+            nxt = nxt.transform(pin)
         levels.append(nxt)
     st = levels[0]
     for lv in levels[1:]:
