@@ -206,6 +206,16 @@ def _q_articulation_points(spark: SparkSession, sf: str) -> DataFrame:
     return bccmod.articulation_points(_sparse_sym(g), g.vertices)
 
 
+def _q_bcc_tarjan_vishkin(spark: SparkSession, sf: str) -> DataFrame:
+    # Independent BCC assembly (aux-graph, the reference's own baseline,
+    # src/BCC/tarjan-vishkin.h:9-124); canonical labels make its output
+    # bit-identical to `bcc`, so it shares that oracle.
+    g = _graph(spark, sf)
+    return bccmod.canonicalize_edge_labels(
+        bccmod.tarjan_vishkin_bcc_edges(_sparse_sym(g), g.vertices)
+    )
+
+
 def _q_bcc_summary(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
     return bccmod.bcc_summary(_sparse_sym(g), g.vertices)
@@ -353,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanning_forest_size": _q_spanning_forest_size,
         "ldd": _q_ldd,
         "bcc": _q_bcc,
+        "bcc_tarjan_vishkin": _q_bcc_tarjan_vishkin,
         "articulation_points": _q_articulation_points,
         "bcc_summary": _q_bcc_summary,
         "approx_diameter": _q_approx_diameter,
@@ -461,7 +472,7 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN list_dot_product(e, {plane(p)}) > 0 THEN {2**p} ELSE 0 END"
         for p in range(8)
     )
-    return {
+    out = {
         "token_count": f"""
             SELECT doc_id, CAST(len({TOKS}) AS INT) AS n_tokens FROM documents
         """,
@@ -961,3 +972,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, count(*) AS out_links FROM pe WHERE src <> dst GROUP BY src
         """,
     }
+    # Tarjan-Vishkin produces the identical canonical edge partition, so it
+    # is checked against the same oracle as the FAST-BCC `bcc` query.
+    out["bcc_tarjan_vishkin"] = out["bcc"]
+    return out
