@@ -334,8 +334,27 @@ def connected_components_two_phase(
         if on_round:
             on_round(it)
     labels = labels.transform(pin)
+    return cc_phase2_union_find(
+        sym, labels, max_residual=max_residual,
+        context=f"after {shrink_rounds} shrink rounds",
+    )
 
-    # Phase 2: residual cluster graph — distinct inter-cluster pairs only.
+
+def cc_phase2_union_find(
+    sym: DataFrame,
+    labels: DataFrame,
+    *,
+    max_residual: int = 4_000_000,
+    context: str = "",
+) -> DataFrame:
+    """Finish connectivity from a shrunken labeling: contract to the
+    DISTINCT inter-cluster label pairs, assert the residual is
+    driver-sized, union-find sequentially, broadcast the fix-ups back.
+
+    The Spark rendition of the reference's post-LDD union-find sweep
+    (src/BCC/connectivity.h:69-85); shared by the in-memory and the
+    checkpointed/resumable two-phase CC drivers.
+    """
     lu = labels.select(F.col("id").alias("src"), F.col("component").alias("cu"))
     lv = labels.select(F.col("id").alias("dst"), F.col("component").alias("cv"))
     residual = (
@@ -347,8 +366,8 @@ def connected_components_two_phase(
     pairs = residual.limit(max_residual + 1).collect()
     if len(pairs) > max_residual:
         raise RuntimeError(
-            f"two-phase CC residual exceeds {max_residual} pairs after "
-            f"{shrink_rounds} shrink rounds; raise shrink_rounds"
+            f"two-phase CC residual exceeds {max_residual} pairs {context}; "
+            "raise shrink_rounds"
         )
     if not pairs:
         return labels.select("id", "component")
@@ -374,7 +393,7 @@ def connected_components_two_phase(
             else:
                 uf[ra] = rb
     remap = [(x, find(x)) for x in list(uf) if find(x) != x]
-    spark = vertices.sparkSession
+    spark = labels.sparkSession
     map_df = spark.createDataFrame(remap, "component long, final long")
     return (
         labels.join(F.broadcast(map_df), "component", "left")

@@ -87,3 +87,46 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.count() == batch.count()
     assert got.agg({"n": "sum"}).first()[0] == spark.read.parquet(src).count()
+
+
+def test_checkpointed_cc_resume_identical(spark, tmp_path):
+    """Two-phase CC through the resumable driver: a run interrupted after
+    one shrink superstep, resumed by a fresh object over the same workdir,
+    must produce the identical canonical labeling as an uninterrupted run
+    (and both match plain connected_components_two_phase)."""
+    from pasgal_spark.graph.kernels import connected_components_two_phase
+    from pasgal_spark.plans.checkpoints import CheckpointedConnectedComponents
+
+    # two components: a 5-cycle and a chain, plus an isolated vertex
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (5, 6), (6, 7)]
+    sym_pairs = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    sym = edges_df(spark, sym_pairs)
+    verts = vertices_df(spark, range(9))
+
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components_two_phase(sym, verts).collect()
+    }
+
+    full_dir = str(tmp_path / "ccfull")
+    full = CheckpointedConnectedComponents(spark, sym, verts, full_dir).run()
+    assert {r["id"]: r["component"] for r in full.collect()} == want
+
+    # interrupted: run only 1 of 3 shrink rounds, then resume fresh
+    part_dir = str(tmp_path / "ccpart")
+    CheckpointedConnectedComponents(
+        spark, sym, verts, part_dir, shrink_rounds=1
+    ).run()
+    m = RunManifest.load(part_dir)
+    assert m is not None and m.superstep == 1
+
+    resumed = CheckpointedConnectedComponents(spark, sym, verts, part_dir).run()
+    assert {r["id"]: r["component"] for r in resumed.collect()} == want
+
+    # metrics: label-sum potential recorded per superstep, non-increasing
+    cp = CheckpointedConnectedComponents(spark, sym, verts, part_dir)
+    deltas = (
+        cp.metrics().select("superstep", "delta").distinct().toPandas()
+        .sort_values("superstep")["delta"].tolist()
+    )
+    assert deltas == sorted(deltas, reverse=True)
