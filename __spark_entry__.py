@@ -179,6 +179,21 @@ def _sparse_sym(g: LinkGraph):
     return g.sym.filter(F.expr(SPARSE_FILTER))
 
 
+# One connectivity pass shared by the whole BCC query family (VERDICT r3
+# #4): keyed by sf_dir alongside the graph cache.
+_SPARSE_CC_CACHE: dict[str, DataFrame] = {}
+
+
+def _sparse_cc(spark: SparkSession, sf: str, g: LinkGraph) -> DataFrame:
+    cached = _SPARSE_CC_CACHE.get(sf)
+    if cached is None or cached.sparkSession is not spark:
+        cached = kernels.connected_components_two_phase(
+            _sparse_sym(g), g.vertices
+        ).localCheckpoint(eager=True)
+        _SPARSE_CC_CACHE[sf] = cached
+    return cached
+
+
 LDD_BETA_CAP = 4
 LDD_RADIUS_CAP = 8
 
@@ -198,12 +213,16 @@ def _q_bcc(spark: SparkSession, sf: str) -> DataFrame:
     # path gets hard-signal coverage; `articulation_points` keeps the
     # level-sweep path covered.
     g = _graph(spark, sf)
-    return bccmod.bcc_edges_canonical(_sparse_sym(g), g.vertices, strategy="euler")
+    return bccmod.bcc_edges_canonical(
+        _sparse_sym(g), g.vertices, strategy="euler", cc=_sparse_cc(spark, sf, g)
+    )
 
 
 def _q_articulation_points(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
-    return bccmod.articulation_points(_sparse_sym(g), g.vertices)
+    return bccmod.articulation_points(
+        _sparse_sym(g), g.vertices, cc=_sparse_cc(spark, sf, g)
+    )
 
 
 def _q_bcc_tarjan_vishkin(spark: SparkSession, sf: str) -> DataFrame:
@@ -212,13 +231,17 @@ def _q_bcc_tarjan_vishkin(spark: SparkSession, sf: str) -> DataFrame:
     # bit-identical to `bcc`, so it shares that oracle.
     g = _graph(spark, sf)
     return bccmod.canonicalize_edge_labels(
-        bccmod.tarjan_vishkin_bcc_edges(_sparse_sym(g), g.vertices)
+        bccmod.tarjan_vishkin_bcc_edges(
+            _sparse_sym(g), g.vertices, cc=_sparse_cc(spark, sf, g)
+        )
     )
 
 
 def _q_bcc_summary(spark: SparkSession, sf: str) -> DataFrame:
     g = _graph(spark, sf)
-    return bccmod.bcc_summary(_sparse_sym(g), g.vertices)
+    return bccmod.bcc_summary(
+        _sparse_sym(g), g.vertices, cc=_sparse_cc(spark, sf, g)
+    )
 
 
 def _q_spanning_forest_size(spark: SparkSession, sf: str) -> DataFrame:
@@ -833,7 +856,7 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT ls.t, el.l FROM elbl el JOIN lsym ls ON ls.s = el.e
             )
-            SELECT CAST(floor(e / 4294967296) AS BIGINT) AS src,
+            SELECT CAST(e // 4294967296 AS BIGINT) AS src,
                    CAST(e % 4294967296 AS BIGINT) AS dst,
                    min(l) AS bcc
             FROM elbl GROUP BY e
@@ -896,7 +919,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE w.key + 4294967296 < {LDD_RADIUS_CAP + 1} * 4294967296
             )
             SELECT id, CAST(min(key) % 4294967296 AS BIGINT) AS label,
-                   CAST(floor(min(key) / 4294967296) AS BIGINT) AS cost
+                   CAST(min(key) // 4294967296 AS BIGINT) AS cost
             FROM walk GROUP BY id
         """,
         "articulation_points": f"""

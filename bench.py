@@ -105,10 +105,11 @@ def main() -> None:
     # (the canonical graph is 2-connected, a trivial BCC fixture), euler
     # strategy (diameter-safe O(log n) superstep path).
     from pasgal_spark.graph import bcc as bccmod  # noqa: E402
+    from pasgal_spark.plans.lineage import pin  # noqa: E402
 
-    sparse_sym = g.sym.filter(
-        "(least(src, dst) * 31 + greatest(src, dst) * 17) % 8 = 0"
-    ).localCheckpoint(eager=True)
+    sparse_sym = pin(
+        g.sym.filter("(least(src, dst) * 31 + greatest(src, dst) * 17) % 8 = 0")
+    )
     timed(
         "bcc_summary_euler",
         lambda: bccmod.bcc_summary(sparse_sym, g.vertices, strategy="euler").collect(),

@@ -67,15 +67,6 @@ def spanning_tree(
     d = 0
     while True:
         d += 1
-        if d > max_depth:
-            # raise-don't-truncate (the scc budget idiom, directed.py): a
-            # silently partial tree would drop every edge past the cut in
-            # fence_filter's inner joins and mislabel those vertices.
-            raise RuntimeError(
-                f"spanning_tree: depth budget ({max_depth}) exhausted with a "
-                "live frontier; use bcc(..., strategy='euler') for "
-                "long-diameter graphs or raise max_depth"
-            )
         cand = (
             sym.join(frontier, sym.src == frontier.id)
             .select(sym.dst.alias("id"), sym.src.alias("parent"))
@@ -89,6 +80,17 @@ def spanning_tree(
         )
         if nxt.isEmpty():
             break
+        if d > max_depth:
+            # raise-don't-truncate (the scc budget idiom, directed.py): a
+            # silently partial tree would drop every edge past the cut in
+            # fence_filter's inner joins and mislabel those vertices.
+            # Probed AFTER the emptiness test so a tree of depth exactly
+            # max_depth completes (ADVICE r3).
+            raise RuntimeError(
+                f"spanning_tree: depth budget ({max_depth}) exhausted with a "
+                "live frontier; use bcc(..., strategy='euler') for "
+                "long-diameter graphs or raise max_depth"
+            )
         visited = visited.unionByName(nxt).transform(pin)
         frontier = nxt
     return visited.join(cc, "id").select("id", "parent", "depth", "component")
@@ -370,26 +372,43 @@ def bcc_edges(
 
 def canonicalize_edge_labels(e: DataFrame) -> DataFrame:
     """Relabel an (src, dst, bcc) edge partition so each cluster's label is
-    its minimum normalized edge key ``min(src * 2^32 + dst)`` — a label
+    its minimum normalized edge key ``min((src << 32) | dst)`` — a label
     that depends only on the partition (which is unique), never on the
     spanning tree or algorithm, so any two BCC implementations (and the
-    SQL oracle) agree exactly."""
-    key = (F.col("src") * F.lit(2 ** 32) + F.col("dst")).alias("ekey")
+    SQL oracle) agree exactly. Exact shift/or packing (not ``* 2^32 +``,
+    which overflows signed long for src >= 2^31; ADVICE r3) — numerically
+    identical to the oracle's ``src * 4294967296 + dst`` for in-range ids.
+    """
+    key = F.shiftleft(F.col("src").cast("long"), 32).bitwiseOR(
+        F.col("dst").cast("long")
+    ).alias("ekey")
     keyed = e.select("src", "dst", "bcc", key)
     canon = keyed.groupBy("bcc").agg(F.min("ekey").alias("canon"))
     return keyed.join(canon, "bcc").select("src", "dst", F.col("canon").alias("bcc"))
 
 
 def bcc_edges_canonical(
-    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    strategy: str = "level",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, bcc) with tree-independent canonical labels
-    (VERDICT r2 canonicalization)."""
-    return canonicalize_edge_labels(bcc_edges(sym, vertices, strategy=strategy))
+    (VERDICT r2 canonicalization). ``cc``: optionally reuse a
+    connectivity labeling (VERDICT r3 #4 — callers that already hold one
+    save a full CC pass)."""
+    return canonicalize_edge_labels(
+        bcc_edges(sym, vertices, strategy=strategy, cc=cc)
+    )
 
 
 def articulation_points(
-    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    strategy: str = "level",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """(id): vertices whose removal disconnects their component.
 
@@ -397,7 +416,7 @@ def articulation_points(
     distinct biconnected components (the reference's component heads,
     fast-bcc.h:205-214, are exactly these).
     """
-    e = bcc_edges(sym, vertices, strategy=strategy)
+    e = bcc_edges(sym, vertices, strategy=strategy, cc=cc)
     both = e.select(F.col("src").alias("id"), "bcc").unionByName(
         e.select(F.col("dst").alias("id"), "bcc")
     )
@@ -410,7 +429,11 @@ def articulation_points(
 
 
 def tarjan_vishkin_bcc_edges(
-    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    strategy: str = "level",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, bcc) for src < dst: per-edge BCC via the Tarjan-Vishkin
     auxiliary graph — the reference's comparison baseline
@@ -425,7 +448,8 @@ def tarjan_vishkin_bcc_edges(
     of the fence's *critical* predicate). Aux connectivity labels tree
     edges; a non-tree edge adopts its deeper endpoint's label.
     """
-    cc = connected_components_two_phase(sym, vertices)
+    if cc is None:
+        cc = connected_components_two_phase(sym, vertices)
     tags = bcc_tags(sym, vertices, cc, strategy=strategy)
     ts = tags.select(
         F.col("id").alias("src"), F.col("parent").alias("p_src"),
@@ -480,13 +504,18 @@ def tarjan_vishkin_bcc_edges(
 
 
 def bcc_summary(
-    sym: DataFrame, vertices: DataFrame, *, strategy: str = "level"
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    strategy: str = "level",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
     """One row (n_cc, n_bcc, largest_bcc_edges, n_bridges) — the
     reference's published artifact shape (src/BCC/fast-bcc.tsv:1,
     get_num_bcc at fast-bcc.h:261-282; bcc counted per distinct edge
     cluster, bridges = single-edge BCCs)."""
-    cc = connected_components_two_phase(sym, vertices).transform(pin)
+    if cc is None:
+        cc = connected_components_two_phase(sym, vertices).transform(pin)
     n_cc = cc.select("component").distinct().count()
     e = bcc_edges(sym, vertices, strategy=strategy, cc=cc)
     per = e.groupBy("bcc").agg(F.count(F.lit(1)).alias("n_edges"))

@@ -43,7 +43,7 @@ def reachability(edges: DataFrame, source: int = 0, *, max_iterations: int = 100
     spark = edges.sparkSession
     visited = spark.createDataFrame([(source,)], "id long").transform(pin)
     frontier = visited
-    for _ in range(max_iterations):
+    for it in range(max_iterations + 1):
         nxt = (
             edges.join(frontier, edges.src == frontier.id)
             .select(edges.dst.alias("id"))
@@ -53,13 +53,15 @@ def reachability(edges: DataFrame, source: int = 0, *, max_iterations: int = 100
         )
         if nxt.isEmpty():
             break
+        if it == max_iterations:
+            # probed after the emptiness test: a graph whose frontier dies
+            # at exactly max_iterations succeeds (ADVICE r3)
+            raise RuntimeError(
+                f"reachability: frontier still live after {max_iterations} "
+                "supersteps; raise max_iterations (long-diameter graph)"
+            )
         visited = visited.unionByName(nxt).transform(pin)
         frontier = nxt
-    else:
-        raise RuntimeError(
-            f"reachability: frontier still live after {max_iterations} "
-            "supersteps; raise max_iterations (long-diameter graph)"
-        )
     return visited
 
 
@@ -77,7 +79,7 @@ def multi_reachability(
         [(s, s) for s in sources], "id long, source long"
     ).transform(pin)
     frontier = visited
-    for _ in range(max_iterations):
+    for it in range(max_iterations + 1):
         nxt = (
             edges.join(frontier, edges.src == frontier.id)
             .select(edges.dst.alias("id"), "source")
@@ -87,13 +89,16 @@ def multi_reachability(
         )
         if nxt.isEmpty():
             break
+        if it == max_iterations:
+            # probed after the emptiness test (same boundary rule as
+            # reachability; ADVICE r3)
+            raise RuntimeError(
+                f"multi_reachability: frontier still live after "
+                f"{max_iterations} supersteps; raise max_iterations "
+                "(long-diameter graph)"
+            )
         visited = visited.unionByName(nxt).transform(pin)
         frontier = nxt
-    else:
-        raise RuntimeError(
-            f"multi_reachability: frontier still live after {max_iterations} "
-            "supersteps; raise max_iterations (long-diameter graph)"
-        )
     return visited
 
 
@@ -344,39 +349,21 @@ def scc_coloring(
 def spanning_forest(sym: DataFrame, vertices: DataFrame, cc: DataFrame) -> DataFrame:
     """(child, parent, component): a spanning forest of the symmetric graph.
 
-    Multi-source BFS from each component's minimum vertex (the canonical
-    root); parent(v) = min same-depth-1 neighbor — deterministic, unlike
-    the reference's CAS-race parents (src/BCC/spanning_forest.h:5-60).
-    Tree edges per component = size - 1 (validated in tests).
+    Diameter-safe (VERDICT r3 #3 — this was the last O(diameter) kernel):
+    the forest edge set comes from Borůvka contraction (<= log2(n) rounds,
+    ``euler.boruvka_forest``) and the root-ward orientation from the Euler
+    machinery's entering-arc tags (``euler.euler_tags``: parent(v) = tail
+    of v's minimum entering arc — a tree neighbor, deterministic), so the
+    superstep count is O(log n) at any diameter. Same output contract as
+    the reference's spanning forest (src/BCC/spanning_forest.h:5-60) with
+    deterministic parents instead of CAS races: per component, size-1
+    edges rooted at the canonical min-id root.
     """
-    spark = sym.sparkSession
-    roots = cc.select(F.col("component").alias("id")).distinct()
-    visited = roots.withColumn("dist", F.lit(0)).transform(pin)
-    frontier = visited
-    parents = None
-    d = 0
-    while True:
-        d += 1
-        cand = (
-            sym.join(frontier, sym.src == frontier.id)
-            .select(sym.dst.alias("id"), sym.src.alias("parent"))
-            .join(visited.select("id"), "id", "left_anti")
-        )
-        nxt_parents = (
-            cand.groupBy("id").agg(F.min("parent").alias("parent"))
-        ).transform(pin)
-        if nxt_parents.isEmpty():
-            break
-        parents = (
-            nxt_parents if parents is None else parents.unionByName(nxt_parents)
-        ).transform(pin)
-        nxt = nxt_parents.select("id").withColumn("dist", F.lit(d))
-        visited = visited.unionByName(nxt).transform(pin)
-        frontier = nxt
-    if parents is None:
-        return spark.createDataFrame([], "child long, parent long, component long")
+    from pasgal_spark.graph.euler import boruvka_forest, euler_tags
+
+    forest = boruvka_forest(sym, vertices)
+    tags = euler_tags(forest, cc)
     return (
-        parents.withColumnRenamed("id", "child")
-        .join(cc.withColumnRenamed("id", "child"), "child")
-        .select("child", "parent", "component")
+        tags.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("child"), "parent", "component")
     )

@@ -517,7 +517,8 @@ def ldd(
     return state.select(
         "id",
         (F.col("key") % big).alias("label"),
-        F.floor(F.col("key") / big).cast("long").alias("cost"),
+        # exact integer unpack (shiftright, not double-division floor)
+        F.shiftright(F.col("key"), 32).cast("long").alias("cost"),
     )
 
 
@@ -533,7 +534,7 @@ def bfs(
     checkpoint_every: int = 1,
     vertices: DataFrame | None = None,
     dense_threshold: float = 0.05,
-    on_superstep: Callable[[int, str, int], None] | None = None,
+    on_superstep: Callable[[int, str, int | None], None] | None = None,
 ) -> DataFrame:
     """Hop distances from ``source`` over the symmetric graph → (id, dist).
 
@@ -599,14 +600,17 @@ def bfs(
             frontier_size = nxt.count()
             empty = frontier_size == 0
         else:
-            # pure-push path: a limit-1 probe beats a full frontier scan
-            frontier_size = -1
+            # pure-push path: a limit-1 probe beats a full frontier scan;
+            # the frontier size is genuinely unknown here, so the callback
+            # receives None (not a sentinel; ADVICE r3)
+            frontier_size = None
             empty = nxt.isEmpty()
         if on_superstep:
             on_superstep(d, "pull" if dense else "push", frontier_size)
         if empty:
             break
-        visited_size += frontier_size
+        if frontier_size is not None:
+            visited_size += frontier_size
         visited = _truncate(visited.unionByName(nxt), d, checkpoint_every)
         frontier = nxt
     return visited

@@ -288,10 +288,17 @@ class CheckpointedConnectedComponents:
         while it < self.shrink_rounds:
             t0 = time.time()
             labels = self._superstep(labels).transform(pin)
-            potential = labels.agg(F.sum("component")).first()[0]
+            # empty vertex set => SUM is NULL; coalesce so the manifest's
+            # float() doesn't crash (ADVICE r3)
+            potential = labels.agg(F.sum("component")).first()[0] or 0
             it += 1
-            self._record_metrics(it, labels, potential, (time.time() - t0) * 1000)
+            # checkpoint+manifest commit FIRST, metrics after: a crash
+            # between the two re-executes the superstep on resume, and
+            # metrics-after means the replay cannot leave a duplicate
+            # metric row for a superstep whose state never committed
+            # (ADVICE r3)
             labels = self._checkpoint(labels, it, potential)
+            self._record_metrics(it, labels, potential, (time.time() - t0) * 1000)
         return cc_phase2_union_find(
             self.sym, labels, max_residual=self.max_residual,
             context=f"after {self.shrink_rounds} checkpointed shrink rounds",

@@ -33,11 +33,25 @@ file-size stats — naturally bounded. ``pin`` is the in-memory analog.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
+_warned_fallback = False
 
 
 def pin(df: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df``, truncate lineage, and reset plan stats."""
+    """Eagerly materialize ``df``, truncate lineage, and reset plan stats.
+
+    Known tradeoff vs the bare checkpoint: the rebuilt ``LogicalRDD`` does
+    not carry the checkpoint's outputPartitioning/ordering, so a consumer
+    keyed on the same columns re-exchanges the (small) state side. That is
+    the price of O(1)-bit stats; the engine's explain assertions
+    (scripts/explain_plans.py) pin down that the *edge* side — the O(m)
+    relation — never re-exchanges.
+    """
+    global _warned_fallback
     ck = df.localCheckpoint(eager=True)
     try:
         jdf = ck._jdf  # type: ignore[attr-defined]
@@ -47,4 +61,12 @@ def pin(df: DataFrame) -> DataFrame:
         fresh = jss.internalCreateDataFrame(jrdd, jschema, False)
         return DataFrame(fresh, ck.sparkSession)
     except Exception:  # pragma: no cover - non-classic sessions (Connect)
+        if not _warned_fallback:
+            _warned_fallback = True
+            _log.warning(
+                "pin: stats-reset rebuild unavailable (non-classic session?); "
+                "falling back to bare localCheckpoint — deep iterative plans "
+                "may hit the Spark 4 inherited-stats planning blowup "
+                "(see plans/lineage.py docstring)"
+            )
         return ck
