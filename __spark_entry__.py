@@ -262,6 +262,31 @@ def _q_approx_diameter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Directed double-sweep diameter (the reference's directed mode,
+# src/utils/get_diameter.cpp:48-77): hash-sampled sources s_i, forward BFS,
+# second sweep from the furthest vertex (ties -> min id), max distance
+# observed across all sweeps. Two sources keep the recursive-SQL oracle
+# tractable at sf0.01; the reference samples 10k.
+AD_SOURCES = 2
+AD_MAXD = 60
+
+
+def _q_approx_diameter_directed(spark: SparkSession, sf: str) -> DataFrame:
+    g = _graph(spark, sf)
+    n = g.vertices.count()
+    best = 0
+    for i in range(AD_SOURCES):
+        s = (i * 2654435761 + 7) % n
+        d1 = kernels.bfs(g.edges, source=s, max_depth=AD_MAXD, vertices=g.vertices)
+        far = d1.orderBy(F.desc("dist"), F.asc("id")).first()
+        best = max(best, far["dist"])
+        d2 = kernels.bfs(
+            g.edges, source=far["id"], max_depth=AD_MAXD, vertices=g.vertices
+        )
+        best = max(best, d2.agg(F.max("dist")).first()[0])
+    return spark.createDataFrame([(best,)], "diameter int")
+
+
 def _q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     return extract_links(pages_from_documents(spark, sf))
 
@@ -390,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_points": _q_articulation_points,
         "bcc_summary": _q_bcc_summary,
         "approx_diameter": _q_approx_diameter,
+        "approx_diameter_directed": _q_approx_diameter_directed,
         "extract_links": _q_extract_links,
         "extract_text": _q_extract_text,
         "page_link_degree": _q_page_link_degree,
@@ -969,6 +995,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT id FROM far) AS far_vertex,
                    CAST((SELECT max(d) FROM d2) AS INT) AS diameter
         """,
+        "approx_diameter_directed": (
+            f"WITH RECURSIVE {C},\n"
+            + ",\n".join(
+                f"""
+            src{i} AS (SELECT CAST(({i} * 2654435761 + 7)
+                       % (SELECT n FROM graph_params) AS BIGINT) AS s),
+            b{i}a(id, d) AS (
+              SELECT s, 0 FROM src{i}
+              UNION
+              SELECT e.dst, b{i}a.d + 1 FROM b{i}a JOIN edges e ON e.src = b{i}a.id
+              WHERE b{i}a.d < {AD_MAXD}
+            ),
+            d{i}a AS (SELECT id, min(d) AS d FROM b{i}a GROUP BY id),
+            far{i} AS (SELECT id, d FROM d{i}a ORDER BY d DESC, id ASC LIMIT 1),
+            b{i}b(id, d) AS (
+              SELECT id, 0 FROM far{i}
+              UNION
+              SELECT e.dst, b{i}b.d + 1 FROM b{i}b JOIN edges e ON e.src = b{i}b.id
+              WHERE b{i}b.d < {AD_MAXD}
+            ),
+            d{i}b AS (SELECT max(md) AS d FROM
+                      (SELECT id, min(d) AS md FROM b{i}b GROUP BY id))
+                """
+                for i in range(AD_SOURCES)
+            )
+            + "\nSELECT CAST(greatest("
+            + ", ".join(
+                f"(SELECT d FROM far{i}), (SELECT d FROM d{i}b)"
+                for i in range(AD_SOURCES)
+            )
+            + ") AS INT) AS diameter"
+        ),
         "extract_links": f"""
             WITH {PAGES_CTE}
             SELECT url AS src_url,

@@ -631,9 +631,20 @@ def sssp(
     frontier each superstep; ``write_min`` (src/utils.h:65-81) becomes
     ``groupBy(id).agg(min)``. Positive weights + cap bound the search.
     Returns (id, dist) for vertices with dist <= cap.
+
+    Weight-type generic (the reference's ``-DFLOAT`` build,
+    src/SSSP/sssp.cpp:11-15): ``dist`` adopts ``w``'s type, so integer
+    and double weights both work. Float determinism stance: every
+    candidate distance is a *left-to-right fold along one path*
+    (``dist + w`` per relaxation) and the aggregate is a ``min`` over
+    those per-path values — there is no reduction-order-dependent
+    summation, so double results are bit-stable across partitionings and
+    match a sequential Dijkstra exactly (tests/test_kernels.py).
     """
     spark = wedges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], "id long, dist long")
+    wtype = dict(wedges.dtypes)["w"]
+    zero = 0.0 if wtype in ("double", "float") else 0
+    dist = spark.createDataFrame([(source, zero)], f"id long, dist {wtype}")
     prev_sig = None
     for it in range(max_iterations):
         relaxed = (
@@ -674,10 +685,15 @@ def sssp_delta_stepping(
     edges inside a bucket settle before the threshold advances, bounding
     wasted re-relaxations versus plain Bellman-Ford on weighted graphs.
     Results are identical to ``sssp`` (same cap semantics); only the
-    physical superstep schedule differs.
+    physical superstep schedule differs. Weight-type generic like
+    ``sssp`` (``-DFLOAT`` parity; same per-path-fold determinism stance).
     """
     spark = wedges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], "id long, dist long").transform(pin)
+    wtype = dict(wedges.dtypes)["w"]
+    zero = 0.0 if wtype in ("double", "float") else 0
+    dist = spark.createDataFrame(
+        [(source, zero)], f"id long, dist {wtype}"
+    ).transform(pin)
     threshold = delta
     prev_sig = (1, 0)  # signature of the initial single-row state
     for _ in range(max_iterations):
@@ -724,20 +740,30 @@ def sssp_rho_stepping(
     physical superstep schedule differs, so the same SQL oracle applies.
     """
     spark = wedges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], "id long, dist long").transform(pin)
-    settled_upto = 0  # every dist < settled_upto is final (positive weights)
+    wtype = dict(wedges.dtypes)["w"]
+    zero = 0.0 if wtype in ("double", "float") else 0
+    dist = spark.createDataFrame(
+        [(source, zero)], f"id long, dist {wtype}"
+    ).transform(pin)
+    # every dist <= settled_upto is final (positive weights); inclusive
+    # bound so the rule is weight-type generic (``-DFLOAT`` parity) —
+    # identical bucket schedule to the old ``int(top) + 1`` exclusive
+    # form on integer weights
+    settled_upto = None
     prev_sig = (1, 0)  # signature of the initial single-row state
     budget = max_iterations  # bounds total supersteps across all buckets
     while budget > 0:
-        unsettled = dist.filter(F.col("dist") >= settled_upto)
+        unsettled = (
+            dist if settled_upto is None
+            else dist.filter(F.col("dist") > settled_upto)
+        )
         top = unsettled.orderBy("dist").limit(rho).agg(F.max("dist")).first()[0]
         if top is None:
             break
-        threshold = int(top) + 1  # relax everything <= the ρ-th smallest
-        # inner fixpoint on the active bucket (dist < threshold)
+        # inner fixpoint on the active bucket (dist <= the ρ-th smallest)
         while budget > 0:
             budget -= 1
-            frontier = dist.filter(F.col("dist") < threshold)
+            frontier = dist.filter(F.col("dist") <= top)
             relaxed = (
                 wedges.join(frontier, wedges.src == frontier.id)
                 .select(
@@ -754,8 +780,8 @@ def sssp_rho_stepping(
             dist = new
             if bucket_done:
                 break
-        settled_upto = threshold
-        if settled_upto > cap:
+        settled_upto = top
+        if settled_upto >= cap:
             break
     return dist
 

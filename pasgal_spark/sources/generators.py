@@ -57,9 +57,21 @@ def grid_graph(
 
 
 def with_hash_weights(
-    edges: DataFrame, *, low: int = 1, rng: int = 1 << 18, seed: int = 42
+    edges: DataFrame,
+    *,
+    low: int = 1,
+    rng: int = 1 << 18,
+    seed: int = 42,
+    scale: float | None = None,
 ) -> DataFrame:
-    """Deterministic weights w(u,v) = (hash(u) ^ hash(v)) % rng + low."""
+    """Deterministic weights w(u,v) = (hash(u) ^ hash(v)) % rng + low.
+
+    ``scale``: multiply the integer weight by a double factor, yielding
+    deterministic *float* weights — the reference's ``-DFLOAT`` edge-data
+    mode (src/SSSP/sssp.cpp:11-15, reader dispatch src/graph.h:147-155).
+    A non-dyadic scale (e.g. 0.1) makes path sums exercise real floating-
+    point rounding, which the SSSP float differential pins down.
+    """
     w = (
         F.pmod(
             F.xxhash64(F.col("src"), F.lit(seed))
@@ -68,4 +80,6 @@ def with_hash_weights(
         )
         + low
     )
+    if scale is not None:
+        w = w.cast("double") * F.lit(float(scale))
     return edges.withColumn("w", w)

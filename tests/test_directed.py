@@ -80,6 +80,24 @@ def test_spanning_forest_properties(spark):
             assert (c, p) in sym_set
 
 
+def test_spanning_forest_long_diameter_chain(spark):
+    # diameter-400 chain (the reference's grid-corpus pathology class,
+    # src/utils/diameter.tsv:8-9): the r3 BFS-level implementation needed
+    # ~400 driver supersteps here; the Boruvka+Euler derivation is
+    # O(log n) rounds at any diameter (VERDICT r3 #3).
+    n = 401
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    sym = edges_df(spark, sorted({(u, v) for a, b in pairs for u, v in [(a, b), (b, a)]}))
+    verts = vertices_df(spark, range(n))
+    cc = spark.createDataFrame([(i, 0) for i in range(n)], "id long, component long")
+    forest = directed.spanning_forest(sym, verts, cc).collect()
+    assert len(forest) == n - 1
+    assert {r["child"] for r in forest} == set(range(1, n))
+    for r in forest:
+        assert abs(r["child"] - r["parent"]) == 1  # parents are chain neighbors
+        assert r["component"] == 0
+
+
 def test_pagerank_arrow_matches_dataframe_kernel(spark):
     edges = edges_df(spark, DI_EDGES)
     verts = vertices_df(spark, range(DI_N))

@@ -103,6 +103,44 @@ def test_sssp_rho_stepping_matches_dijkstra(spark):
         assert got == exp
 
 
+def test_sssp_float_weights_vs_dijkstra(spark):
+    # the reference's -DFLOAT weight mode (src/SSSP/sssp.cpp:11-15): edge
+    # weights are doubles; 0.1 is not exactly representable, so path sums
+    # exercise real floating-point rounding. Exact equality holds because
+    # every candidate distance is a left-to-right fold along ONE path and
+    # the min aggregate has no reduction-order-dependent summation — the
+    # heap Dijkstra folds each path in the same order (see kernels.sssp
+    # docstring determinism stance).
+    wpairs = [
+        (u, v, ((u * 31 + v * 17) % 8 + 1) * 0.1)
+        for u, v in _sym_pairs(TT_EDGES)
+    ]
+    wedges = spark.createDataFrame(wpairs, "src long, dst long, w double")
+    exp = dijkstra_oracle(wpairs, 0, cap=4.0)
+    for fn, kw in [
+        (kernels.sssp, {}),
+        (kernels.sssp_delta_stepping, {"delta": 1}),
+        (kernels.sssp_rho_stepping, {"rho": 2}),
+    ]:
+        got = dict(
+            fn(wedges, source=0, cap=4.0, **kw).select("id", "dist").collect()
+        )
+        assert got == exp, f"{fn.__name__} float-weight mismatch"
+        assert all(isinstance(v, float) for v in got.values())
+
+
+def test_sssp_float_weights_via_generator(spark):
+    from pasgal_spark.sources.generators import with_hash_weights
+
+    edges = edges_df(spark, _sym_pairs(PATH_EDGES))
+    wedges = with_hash_weights(edges, low=1, rng=8, scale=0.1)
+    wpairs = [(r["src"], r["dst"], r["w"]) for r in wedges.collect()]
+    got = dict(
+        kernels.sssp(wedges, source=0, cap=10.0).select("id", "dist").collect()
+    )
+    assert got == dijkstra_oracle(wpairs, 0, cap=10.0)
+
+
 def test_pagerank_allclose_vs_power_iteration(spark):
     edges = edges_df(spark, TT_EDGES)
     verts = vertices_df(spark, range(TT_N))
