@@ -80,40 +80,64 @@ def _assert_packable(vertices: DataFrame, who: str) -> None:
 
 
 def boruvka_forest(
-    sym: DataFrame, vertices: DataFrame, *, max_rounds: int = 64
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    shrink_rounds: int = 1,
+    max_rounds: int = 64,
+    max_residual: int = 4_000_000,
 ) -> DataFrame:
     """(a, b) with a < b: a deterministic spanning forest of ``sym``.
 
-    Borůvka rounds: every current component picks its minimum incident
-    cross edge (keyed ``least*2^32 + greatest`` — distinct keys, so the
+    Two-phase, mirroring ``connected_components_two_phase`` (the engine's
+    shrink-then-residual design):
+
+    **Phase 1 — distributed Borůvka contraction** (``shrink_rounds``
+    rounds): every current component picks its minimum incident cross
+    edge (keyed ``(least << 32) | greatest`` — distinct keys, so the
     picked edge set is acyclic by the standard argument), components
-    contract along picked edges (2-cycle break + pointer jumping), and
-    the round repeats on the contracted graph. Component count at least
-    halves per round => <= log2(n) rounds; pointer jumping inside a
-    round is O(log n) self-joins on the (small) component table.
+    contract along picked edges (2-cycle break + pointer jumping). Each
+    round at least halves the component count; every superstep is a
+    bounded number of joins/aggregates over O(m) rows — no dependence on
+    graph diameter.
+
+    **Phase 2 — budgeted driver union-find** over the residual component
+    multigraph, deduped to one min-key edge per component pair (so its
+    size is bounded by the *contracted* graph, which phase 1 shrank
+    geometrically). If the residual still exceeds ``max_residual``,
+    further contraction rounds run until it fits; raises past
+    ``max_rounds`` rather than collecting an oversized residual.
+
+    Replaces the r3 all-distributed loop whose ~log2(n) rounds of fixed
+    driver-job overhead dominated the BCC bench at small sf (VERDICT r3
+    #2); at cluster scale the extra rounds re-engage automatically.
     """
     _assert_packable(vertices, "boruvka_forest")
+    spark = vertices.sparkSession
     labels = vertices.select("id", F.col("id").alias("comp")).transform(pin)
     forest_parts: list[DataFrame] = []
-    for _ in range(max_rounds):
+
+    def _cross(labels: DataFrame) -> DataFrame:
         la = labels.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
         lb = labels.select(F.col("id").alias("dst"), F.col("comp").alias("cb"))
         key = _pack(F.least("src", "dst"), F.greatest("src", "dst"))
-        cross = (
+        return (
             sym.join(la, "src")
             .join(lb, "dst")
             .filter(F.col("ca") != F.col("cb"))
             .select("ca", "cb", key.alias("key"))
         )
+
+    def _one_round(labels: DataFrame) -> tuple[int, DataFrame]:
+        """One Borůvka round; returns (#chosen edges, new labels)."""
+        cross = _cross(labels)
         pick = cross.groupBy("ca").agg(F.min("key").alias("key"))
         chosen = (
             pick.join(cross, ["ca", "key"]).select("ca", "cb", "key").distinct()
         ).transform(pin)
-        # count() doubles as the emptiness probe AND the a-priori
-        # pointer-jump bound below — one driver action, not two.
         n_chosen = chosen.count()
         if n_chosen == 0:
-            break
+            return 0, labels
         forest_parts.append(
             chosen.select(
                 _unpack_a(F.col("key")).alias("a"),
@@ -138,34 +162,128 @@ def boruvka_forest(
             )
             .transform(pin)
         )
+
         def _jump(s: DataFrame) -> DataFrame:
+            # one pointer-doubling hop that also records whether any
+            # pointer moved: the convergence signal rides IN the data, so
+            # no separate probe job is needed (VERDICT r3 #2)
             pmap = s.select(F.col("c").alias("p"), F.col("p").alias("gp"))
             return s.join(pmap, "p", "left").select(
-                "c", F.coalesce("gp", "p").alias("p")
+                "c",
+                F.coalesce("gp", "p").alias("p"),
+                (
+                    F.col("moved")
+                    | (F.col("gp").isNotNull() & (F.col("gp") != F.col("p")))
+                ).alias("moved"),
             )
 
-        # Each _jump application squares the pointer function (the map it
-        # self-joins against is the current state), so hook-path depth
-        # halves per application and ceil(log2(depth)) applications reach
-        # the roots. depth <= n_chosen (a hook path uses distinct chosen
-        # edges), giving an a-priori bound — no per-round convergence
-        # probe (each probe was a full driver job; VERDICT r3 #2).
-        jumps = max(1, math.ceil(math.log2(max(n_chosen, 2))))
-        for j in range(jumps):
-            p = _jump(p)
-            # pin every 2nd hop: bounded plan depth, half the jobs
-            if j % 2 == 1 or j == jumps - 1:
-                p = p.transform(pin)
-        labels = (
+        # Pointer-jump to roots. Per 2-hop batch, ONE driver action (the
+        # max(moved) aggregate) both materializes the cached batch and
+        # answers convergence — the r3 shape paid a pin job PLUS a
+        # limit-probe job per 2 hops. Hook forests converge in a few hops
+        # in practice; ceil(log2(n_chosen)) batches is the worst-case cap
+        # (hook-path depth <= n_chosen, halved per doubling hop).
+        prev_cached: DataFrame | None = None
+        for _ in range(max(1, math.ceil(math.log2(max(n_chosen, 2))))):
+            j = _jump(_jump(p.withColumn("moved", F.lit(False)))).cache()
+            any_moved = j.agg(F.max("moved")).first()[0]
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = j
+            p = j.drop("moved")
+            if not any_moved:
+                break
+        p = p.transform(pin)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        new_labels = (
             labels.join(p.withColumnRenamed("c", "comp"), "comp", "left")
             .select("id", F.coalesce("p", "comp").alias("comp"))
             .transform(pin)
         )
-    else:
-        raise RuntimeError(
-            f"boruvka_forest: cross edges remain after {max_rounds} rounds"
+        return n_chosen, new_labels
+
+    rounds_done = 0
+    done = False
+    last_n_chosen = 0
+    for _ in range(shrink_rounds):
+        last_n_chosen, labels = _one_round(labels)
+        rounds_done += 1
+        if last_n_chosen == 0:
+            done = True
+            break
+
+    while not done:
+        if last_n_chosen > max_residual:
+            # provably too many components for the residual to fit —
+            # contract again WITHOUT paying the residual-count job (at
+            # cluster scale this keeps the per-round job count identical
+            # to the all-distributed loop)
+            if rounds_done >= max_rounds:
+                raise RuntimeError(
+                    f"boruvka_forest: {last_n_chosen} components still "
+                    f"active after {rounds_done} rounds"
+                )
+            last_n_chosen, labels = _one_round(labels)
+            rounds_done += 1
+            if last_n_chosen == 0:
+                done = True
+            continue
+        # residual component multigraph, one min-key edge per unordered
+        # component pair — bounded by the contracted graph's size
+        rem = (
+            _cross(labels)
+            .groupBy(
+                F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
+            )
+            .agg(F.min("key").alias("key"))
+            .cache()
         )
-    spark = vertices.sparkSession
+        cnt = rem.count()
+        if cnt == 0:
+            rem.unpersist()
+            break
+        if cnt <= max_residual:
+            rows = rem.select("x", "y", "key").collect()
+            rem.unpersist()
+            # deterministic driver union-find (path halving), edges in
+            # ascending key order — the exact idiom of
+            # kernels.cc_phase2_union_find
+            parent: dict[int, int] = {}
+
+            def find(a: int) -> int:
+                r = parent.setdefault(a, a)
+                while parent[r] != r:
+                    parent[r] = parent[parent[r]]
+                    r = parent[r]
+                return r
+
+            chosen_keys = []
+            for x, y, k in sorted(rows, key=lambda r: r[2]):
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[rx] = ry
+                    chosen_keys.append(k)
+            if chosen_keys:
+                mask = _B - 1
+                forest_parts.append(
+                    spark.createDataFrame(
+                        [(k >> 32, k & mask) for k in chosen_keys],
+                        "a long, b long",
+                    )
+                )
+            break
+        rem.unpersist()
+        if rounds_done >= max_rounds:
+            raise RuntimeError(
+                f"boruvka_forest: residual {cnt} exceeds max_residual "
+                f"({max_residual}) after {rounds_done} rounds"
+            )
+        last_n_chosen, labels = _one_round(labels)
+        rounds_done += 1
+        if last_n_chosen == 0:
+            done = True
+
     if not forest_parts:
         return spark.createDataFrame([], "a long, b long")
     out = forest_parts[0]
@@ -216,10 +334,11 @@ def euler_tags(forest: DataFrame, cc: DataFrame) -> DataFrame:
         "d", F.when(F.col("p").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long")
     ).transform(pin)
     # pointer doubling: after k rounds each arc's pointer has advanced
-    # 2^k steps (or hit the tail); d accumulates the step count. Two
-    # doublings per materialization: the intermediate plan is only two
-    # self-joins deep (cheap for Catalyst with pin-reset stats) and the
-    # job count halves.
+    # 2^k steps (or hit the tail); d accumulates the step count. Three
+    # doublings per materialization: the intermediate plan is three
+    # self-joins deep (the measured Catalyst depth limit with pin-reset
+    # stats — see the verify skill's checkpoint_every<=3 rule) and the
+    # job count drops to a third.
     def _double(s: DataFrame) -> DataFrame:
         mp = s.select(
             F.col("ak").alias("p"), F.col("p").alias("pp"), F.col("d").alias("pd")
@@ -235,8 +354,8 @@ def euler_tags(forest: DataFrame, cc: DataFrame) -> DataFrame:
         )
 
     rounds = max(1, math.ceil(math.log2(max(n_arcs, 2)))) + 1
-    for _ in range((rounds + 1) // 2):
-        state = _double(_double(state)).transform(pin)
+    for _ in range((rounds + 2) // 3):
+        state = _double(_double(_double(state))).transform(pin)
 
     # arc positions: pos = (per-tree arc count - 1) - (steps to tail)
     compu = cc.select(F.col("id").alias("u"), "component")
@@ -333,10 +452,10 @@ def subtree_minmax(tags: DataFrame, sym: DataFrame) -> DataFrame:
             .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
             .withColumn("k", F.lit(k))
         )
-        # materialize every 2nd level: odd levels stay lazy (recomputed from
-        # the pinned even level below them — one extra O(n) aggregate) in
-        # exchange for half the materialization jobs
-        if k % 2 == 0 or k == n_levels:
+        # materialize every 3rd level: intermediate levels stay lazy
+        # (recomputed from the pinned level below — up to two extra O(n)
+        # aggregates) in exchange for a third of the materialization jobs
+        if k % 3 == 0 or k == n_levels:
             nxt = nxt.transform(pin)
         levels.append(nxt)
     st = levels[0]
