@@ -187,9 +187,11 @@ _SPARSE_CC_CACHE: dict[str, DataFrame] = {}
 def _sparse_cc(spark: SparkSession, sf: str, g: LinkGraph) -> DataFrame:
     cached = _SPARSE_CC_CACHE.get(sf)
     if cached is None or cached.sparkSession is not spark:
-        cached = kernels.connected_components_two_phase(
-            _sparse_sym(g), g.vertices
-        ).localCheckpoint(eager=True)
+        from pasgal_spark.plans.lineage import pin
+
+        cached = pin(
+            kernels.connected_components_two_phase(_sparse_sym(g), g.vertices)
+        )
         _SPARSE_CC_CACHE[sf] = cached
     return cached
 
@@ -497,7 +499,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         bands_ok AS (
           SELECT band, band_hash FROM bands
-          GROUP BY band, band_hash HAVING count(*) <= 100000
+          GROUP BY band, band_hash HAVING count(*) <= {dedup.MAX_BUCKET}
         ),
         bandsf AS (
           SELECT b.doc_id, b.band, b.band_hash
@@ -533,9 +535,12 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN len(t) > 0 THEN {stop_hits("en")} / len(t) ELSE 0.0 END AS sr
               FROM toks
             )
-            SELECT doc_id, n_tokens, round(dr, 4) AS distinct_ratio,
-                   round(sr, 4) AS stop_ratio,
-                   round(0.5 * sr + 0.3 * dr + 0.2 * least(n_tokens / 100.0, 1.0), 4) AS quality
+            SELECT doc_id, n_tokens,
+                   floor(dr * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+                   floor(sr * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                   floor((0.5 * sr + 0.3 * dr
+                          + 0.2 * least(n_tokens / 100.0, 1.0)) * 10000.0
+                         + 0.5) / 10000.0 AS quality
             FROM raw
         """,
         "lang_id": f"""
@@ -617,7 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_ann": f"""
             WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             b0 AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket, e FROM e0),
-            bok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 100000),
+            bok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 5000),
             b AS (SELECT b0.vec_id, b0.bucket, b0.e FROM b0 JOIN bok ON b0.bucket = bok.bucket),
             pairs AS (
               SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,

@@ -27,6 +27,7 @@ from pasgal_spark.functions.textstats import (
 
 NUM_HASHES = 8
 BANDS = 4  # rows-per-band = NUM_HASHES // BANDS = 2
+MAX_BUCKET = 5_000  # LSH bucket-size skew cap (see lsh_candidate_pairs)
 MINHASH_P = 2**40       # permutation modulus (keeps a_i*h in int64)
 MINHASH_B = 981_467     # permutation offset stride
 
@@ -141,7 +142,7 @@ def lsh_candidate_pairs(
     docs: DataFrame,
     piv: DataFrame | None = None,
     *,
-    max_bucket: int = 100_000,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """(a, b) near-duplicate candidate pairs sharing any LSH band bucket.
 
@@ -153,6 +154,10 @@ def lsh_candidate_pairs(
     of a dirty crawl) whose size² self-join would dominate at 100 TB —
     their members are near-certain duplicates of a cluster that exact
     dedup already collapses. The driver oracle applies the same cap.
+    Default 5000 (r4): a 10x-scale stress run showed the old 100k cap was
+    a no-op guard — one degenerate 50k-doc bucket ran a single executor
+    task for 10+ minutes before the cap would ever have engaged; 5000
+    bounds any one bucket's self-join at 25M pairs.
     """
     bands = lsh_bands(piv if piv is not None else minhash_pivot(docs))
     if max_bucket is not None:

@@ -22,13 +22,23 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     lag-window + cumulative-sum-of-boundaries — the standard batch
     sessionization; deterministic ordering via (ts, event_id).
     """
+    # Microsecond-precision gaps (timestampdiff over the raw NTZ values),
+    # NOT unix_timestamp which truncates to whole seconds: a 1800.4s gap
+    # IS an expired session, and the truncation made Spark disagree with
+    # the DuckDB oracle's fractional epoch() on gaps within 1s of the
+    # threshold (first seen at the sf1 scale tier, where such gaps
+    # actually occur). timestampdiff is timezone-free on TIMESTAMP_NTZ
+    # and exact integer microseconds — bit-deterministic vs the oracle.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    with_prev = events.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
     is_start = F.when(
-        prev.isNull() | (F.unix_timestamp("ts") - prev > gap_s), 1
+        F.col("prev_ts").isNull() | (gap_us > gap_s * 1_000_000), 1
     ).otherwise(0)
     return (
-        events.select("user_id", is_start.alias("s"))
+        with_prev.select("user_id", is_start.alias("s"))
         .groupBy("user_id")
         .agg(F.sum("s").alias("n_sessions"))
     )

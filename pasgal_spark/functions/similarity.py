@@ -65,43 +65,51 @@ def hyperplane_buckets(
 
     Deterministic integer hyperplanes w_pj = (p*131071 + j*524287) % 2001
     - 1000 (no RNG state — the reference's hash-derived-randomness idiom,
-    src/graph.h:397-433). All n_planes dot products are accumulated in ONE
-    traversal of the embedding (an array-of-lanes fold), and the dots
-    vector is materialized in its own projection so the per-plane sign
-    bits read an attribute instead of re-expanding the fold n_planes
-    times. Per-plane summation order (ascending j) is unchanged, so the
-    result is bit-identical to separate dot products.
+    src/graph.h:397-433). Arrow-batched NumPy kernel (mapInPandas): per
+    batch, the (rows x planes) dot matrix accumulates as
+    ``acc += outer(X[:, j], W[j, :])`` in ascending j — the identical
+    left-to-right per-element fold as the DuckDB oracle's
+    list_dot_product, so sign bits are bit-deterministic. Replaces the r3
+    interpreted HOF fold, which cost ~0.9 ms/row (measured 18.5s for 20k
+    vectors at the sf1 tier — linear-in-rows CPU that a 10^12-doc corpus
+    cannot afford); the kernel is ~100x cheaper per row and embarrassingly
+    parallel over batches.
     """
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
 
-    def planes_at(i: Column) -> Column:  # weights of all planes at element i (1-based)
-        return F.array(
-            *[
-                ((F.lit(p) * 131071 + (i - 1) * 524287) % 2001 - 1000).cast("double")
-                for p in range(n_planes)
-            ]
-        )
-
-    zero = F.array(*[F.lit(0.0)] * n_planes)
-    dots = F.aggregate(
-        F.sequence(F.lit(1), F.lit(dim)),
-        zero,
-        lambda acc, i: F.zip_with(
-            acc, planes_at(i), lambda a, w: a + F.element_at(F.col("e"), i) * w
-        ),
+    # W[j, p]: weight of plane p at element j (0-based j == i-1)
+    w = np.array(
+        [
+            [(p * 131071 + j * 524287) % 2001 - 1000 for p in range(n_planes)]
+            for j in range(dim)
+        ],
+        dtype=np.float64,
     )
-    d = e.select("vec_id", dots.alias("dots"))
-    bucket = None
-    for p in range(n_planes):
-        bit = F.when(F.element_at(F.col("dots"), p + 1) > 0, F.lit(2 ** p)).otherwise(
-            F.lit(0)
-        )
-        bucket = bit if bucket is None else bucket + bit
-    return d.select("vec_id", bucket.cast("long").alias("bucket"))
+    bits = np.array([2 ** p for p in range(n_planes)], dtype=np.int64)
+
+    def _buckets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["e"].to_numpy())  # (n, dim) float64
+            acc = np.zeros((len(pdf), n_planes))
+            for j in range(dim):  # ascending j: oracle-exact fold order
+                acc += np.outer(x[:, j], w[j])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "bucket": ((acc > 0) @ bits).astype(np.int64),
+                }
+            )
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    return e.mapInPandas(_buckets, "vec_id long, bucket long")
 
 
 def bucketed_ann(
-    emb: DataFrame, *, k: int = 3, max_bucket: int = 100_000
+    emb: DataFrame, *, k: int = 3, max_bucket: int = 5_000
 ) -> DataFrame:
     """(query_id, neighbor_id, score): ANN restricted to same-LSH-bucket pairs.
 
@@ -112,6 +120,9 @@ def bucketed_ann(
     would dominate a 100 TB run): buckets above the cap contribute no
     pairs. The driver oracle applies the identical HAVING cap.
     """
+    import numpy as np
+    import pandas as pd
+
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     b = hyperplane_buckets(emb)
     if max_bucket is not None:
@@ -123,20 +134,49 @@ def bucketed_ann(
         )
         b = b.join(ok, "bucket", "left_semi")
     eb = e.join(b, "vec_id")
-    left = eb.alias("l")
-    right = eb.alias("r")
-    pairs = left.join(
-        right,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col("l.vec_id") != F.col("r.vec_id")),
-    ).select(
-        F.col("l.vec_id").alias("query_id"),
-        F.col("r.vec_id").alias("neighbor_id"),
-        cosine(F.col("l.e"), F.col("r.e")).alias("s"),
+
+    # Per-bucket vectorized kernel (applyInPandas): a vector's every
+    # candidate lives in its own bucket, so the within-bucket top-k IS the
+    # global top-k. The r3 shape scored each pair with three interpreted
+    # HOF folds (dot + both norms, the norms recomputed per pair) — 322s
+    # at 20k vectors. Here the whole bucket's Gram matrix accumulates as
+    # sum_j outer(X[:,j], X[:,j]) — element order identical to the HOF's
+    # (and the DuckDB oracle's) left-to-right fold, so scores are
+    # bit-identical while the arithmetic is NumPy-vectorized; norms come
+    # free as the Gram diagonal. Per-task memory is bounded by
+    # max_bucket^2 doubles (the same cap that bounds the pair count).
+
+    def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "s": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "s": "float64"})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        x = np.stack(pdf["e"].to_numpy())  # (n, dim) float64
+        gram = np.zeros((n, n))
+        for j in range(x.shape[1]):  # left-to-right fold, oracle-exact
+            col = x[:, j]
+            gram += np.outer(col, col)
+        norm = np.sqrt(np.diag(gram))
+        s = gram / np.outer(norm, norm)
+        np.fill_diagonal(s, -np.inf)  # exclude self-pairs
+        out_q, out_n, out_s = [], [], []
+        for i in range(n):
+            # ties: score desc, neighbor id asc (lexsort keys reversed)
+            order = np.lexsort((ids, -s[i]))[: min(k, n - 1)]
+            out_q.extend([ids[i]] * len(order))
+            out_n.extend(ids[order])
+            out_s.extend(s[i][order])
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "s": out_s}
+        )
+
+    scored = eb.groupBy("bucket").applyInPandas(
+        lambda _, pdf: _topk(pdf), "query_id long, neighbor_id long, s double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("s", 6).alias("score"))
+    # round in Spark (not NumPy) so the rounding rule matches cosine_topk
+    # and the oracle exactly
+    return scored.select(
+        "query_id", "neighbor_id", F.round("s", 6).alias("score")
     )

@@ -98,12 +98,22 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.lit(0.3) * distinct_ratio
         + F.lit(0.2) * F.least(n / F.lit(100.0), F.lit(1.0))
     )
+
+    # Portable 4-decimal round: floor(x * 1e4 + 0.5) / 1e4. Engine round()
+    # implementations disagree on decimal-halfway doubles (0.23275 rounded
+    # to 0.2327 by Spark's HALF_UP-on-exact-binary but 0.2328 by DuckDB —
+    # first seen at the sf1 tier); floor over the identical IEEE product
+    # is bit-deterministic across engines. Ratios are non-negative, so
+    # floor(+0.5) == round-half-up exactly.
+    def r4(c):
+        return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(quality, 4).alias("quality"),
+        r4(distinct_ratio).alias("distinct_ratio"),
+        r4(stop_ratio).alias("stop_ratio"),
+        r4(quality).alias("quality"),
     )
 
 
