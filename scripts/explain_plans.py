@@ -187,6 +187,29 @@ def main() -> None:
         must_not=["BatchEvalPython"],  # no row-at-a-time Python UDFs
     )
 
+    # 5. ANN kernels (r4 vectorization): Arrow-batched NumPy kernels only —
+    #    hyperplane bucketing is one MapInPandas pass; bucketed ANN is one
+    #    shuffle on the bucket key into a grouped-map kernel. No
+    #    row-at-a-time Python anywhere.
+    from pasgal_spark.functions.similarity import bucketed_ann, hyperplane_buckets
+
+    load_views(spark, sf, ["embeddings"])
+    emb = spark.table("embeddings")
+    p = plan_of(hyperplane_buckets(emb))
+    check(
+        "hyperplane buckets (vectorized)",
+        p,
+        must=["MapInPandas"],
+        must_not=["BatchEvalPython", "Exchange ("],  # single scan, no shuffle
+    )
+    p = plan_of(bucketed_ann(emb))
+    check(
+        "bucketed ANN (grouped-map kernel)",
+        p,
+        must=["FlatMapGroupsInPandas"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
 
 if __name__ == "__main__":
     main()
