@@ -622,7 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_ann": f"""
             WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             b0 AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket, e FROM e0),
-            bok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 5000),
+            bok AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= {similarity.MAX_BUCKET}),
             b AS (SELECT b0.vec_id, b0.bucket, b0.e FROM b0 JOIN bok ON b0.bucket = bok.bucket),
             pairs AS (
               SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,

@@ -18,6 +18,41 @@ from pyspark.sql import functions as F
 
 DIM = 64
 N_PLANES = 8
+# LSH bucket-size skew cap for bucketed_ann. Shared constant so the driver
+# oracle (interpolated into its HAVING clause) cannot drift from the kernel
+# default on a tuning pass — same pattern as dedup.MAX_BUCKET.
+MAX_BUCKET = 5_000
+# Per-task memory budget for the blocked Gram accumulation in bucketed_ann:
+# each row-block holds ~3 block-sized double arrays (gram_block, s_block,
+# one outer temp), so block_rows = BLOCK_BYTES / (3 * 8 * n).
+BLOCK_BYTES = 64 * 1024 * 1024
+
+
+def _validate_batch(e_col, dim: int):
+    """Assert an Arrow batch's embedding column is non-null and dim-wide.
+
+    A ragged or null row would crash ``np.stack`` mid-job with an opaque
+    error (the pre-r4 Catalyst expression degraded to null buckets
+    instead); fail loudly with the offending row count before stacking.
+    Cost is two vectorized passes over the batch — negligible next to the
+    kernels' O(n*dim) work.
+    """
+    import numpy as np
+
+    nulls = int(e_col.isna().sum())
+    if nulls:
+        raise ValueError(
+            f"similarity kernel: {nulls} null embedding(s) in batch; "
+            "filter nulls before bucketing/ANN"
+        )
+    lens = e_col.map(len).to_numpy()
+    bad = int((lens != dim).sum())
+    if bad:
+        raise ValueError(
+            f"similarity kernel: {bad} embedding(s) not {dim}-wide in batch "
+            f"(saw lengths {sorted(set(lens.tolist()))[:5]})"
+        )
+    return np.stack(e_col.to_numpy())
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -93,7 +128,7 @@ def hyperplane_buckets(
         for pdf in it:
             if not len(pdf):
                 continue
-            x = np.stack(pdf["e"].to_numpy())  # (n, dim) float64
+            x = _validate_batch(pdf["e"], dim)  # (n, dim) float64
             acc = np.zeros((len(pdf), n_planes))
             for j in range(dim):  # ascending j: oracle-exact fold order
                 acc += np.outer(x[:, j], w[j])
@@ -109,7 +144,7 @@ def hyperplane_buckets(
 
 
 def bucketed_ann(
-    emb: DataFrame, *, k: int = 3, max_bucket: int = 5_000
+    emb: DataFrame, *, k: int = 3, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
     """(query_id, neighbor_id, score): ANN restricted to same-LSH-bucket pairs.
 
@@ -118,7 +153,15 @@ def bucketed_ann(
     ``max_bucket`` caps the self-join blowup of a pathologically skewed
     bucket (cost per bucket is size², so one hot bucket of 10^7 vectors
     would dominate a 100 TB run): buckets above the cap contribute no
-    pairs. The driver oracle applies the identical HAVING cap.
+    pairs. The driver oracle interpolates the same ``MAX_BUCKET`` constant
+    into its HAVING cap, so kernel and oracle cannot drift.
+
+    Preconditions (assert-checked per batch): embeddings are non-null,
+    uniform-width, and nonzero-norm — cosine is undefined for a zero
+    vector and NaN ordering differs between NumPy and SQL ORDER BY, so the
+    kernel refuses rather than silently diverging from the oracle.
+    Peak per-task memory: ~``BLOCK_BYTES`` (64 MB) via blocked Gram
+    accumulation, independent of bucket size.
     """
     import numpy as np
     import pandas as pd
@@ -139,12 +182,16 @@ def bucketed_ann(
     # candidate lives in its own bucket, so the within-bucket top-k IS the
     # global top-k. The r3 shape scored each pair with three interpreted
     # HOF folds (dot + both norms, the norms recomputed per pair) — 322s
-    # at 20k vectors. Here the whole bucket's Gram matrix accumulates as
-    # sum_j outer(X[:,j], X[:,j]) — element order identical to the HOF's
-    # (and the DuckDB oracle's) left-to-right fold, so scores are
-    # bit-identical while the arithmetic is NumPy-vectorized; norms come
-    # free as the Gram diagonal. Per-task memory is bounded by
-    # max_bucket^2 doubles (the same cap that bounds the pair count).
+    # at 20k vectors. Here the Gram matrix accumulates BLOCKED by row-range
+    # as sum_j outer(X[B,j], X[:,j]) — every gram[i,k] element still sums
+    # its dim terms in ascending-j order, identical to the HOF's (and the
+    # DuckDB oracle's) left-to-right fold, so scores are bit-identical
+    # while the arithmetic is NumPy-vectorized. Norms use the same
+    # ascending-j fold (they equal the Gram diagonal bit-for-bit). Peak
+    # per-task memory is ~3 block-sized arrays (gram_block, s_block, one
+    # outer temp) = BLOCK_BYTES ≈ 64 MB, independent of max_bucket — the
+    # unblocked r4 kernel peaked at ~3 * max_bucket^2 doubles ≈ 600 MB at
+    # the 5000 cap, multiplied by concurrent bucket tasks.
 
     def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -153,21 +200,39 @@ def bucketed_ann(
                 {"query_id": [], "neighbor_id": [], "s": []}
             ).astype({"query_id": "int64", "neighbor_id": "int64", "s": "float64"})
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        x = np.stack(pdf["e"].to_numpy())  # (n, dim) float64
-        gram = np.zeros((n, n))
-        for j in range(x.shape[1]):  # left-to-right fold, oracle-exact
-            col = x[:, j]
-            gram += np.outer(col, col)
-        norm = np.sqrt(np.diag(gram))
-        s = gram / np.outer(norm, norm)
-        np.fill_diagonal(s, -np.inf)  # exclude self-pairs
+        x = _validate_batch(pdf["e"], int(len(pdf["e"].iloc[0])))
+        dim = x.shape[1]
+        # norm[i] = sqrt(sum_j x[i,j]^2), accumulated in ascending j —
+        # bit-identical to the Gram diagonal under the same fold.
+        sq = np.zeros(n)
+        for j in range(dim):
+            sq += x[:, j] * x[:, j]
+        norm = np.sqrt(sq)
+        if not norm.all():
+            # A zero-norm vector yields NaN cosines; NumPy's lexsort and
+            # the SQL engines' ORDER BY place NaN differently, so the
+            # kernel and oracle would silently diverge. Precondition
+            # (documented in the docstring): norms are nonzero.
+            raise ValueError(
+                f"bucketed_ann: {int((norm == 0).sum())} zero-norm "
+                "embedding(s); cosine is undefined — filter them upstream"
+            )
+        block = max(1, int(BLOCK_BYTES // (3 * 8 * n)))
         out_q, out_n, out_s = [], [], []
-        for i in range(n):
-            # ties: score desc, neighbor id asc (lexsort keys reversed)
-            order = np.lexsort((ids, -s[i]))[: min(k, n - 1)]
-            out_q.extend([ids[i]] * len(order))
-            out_n.extend(ids[order])
-            out_s.extend(s[i][order])
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            gram_b = np.zeros((hi - lo, n))
+            for j in range(dim):  # left-to-right fold, oracle-exact
+                gram_b += np.outer(x[lo:hi, j], x[:, j])
+            s_b = gram_b / np.outer(norm[lo:hi], norm)
+            for i in range(lo, hi):
+                row = s_b[i - lo]
+                row[i] = -np.inf  # exclude the self-pair
+                # ties: score desc, neighbor id asc (lexsort keys reversed)
+                order = np.lexsort((ids, -row))[: min(k, n - 1)]
+                out_q.extend([ids[i]] * len(order))
+                out_n.extend(ids[order])
+                out_s.extend(row[order])
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "s": out_s}
         )

@@ -112,6 +112,7 @@ def _min_label_to_fixpoint(
     test, same trick as kernels.connected_components).
     """
     prev_sum = None
+    converged = False
     for it in range(max_iterations):
         msgs = (
             edges.join(labels, edges.src == labels.id)
@@ -126,6 +127,14 @@ def _min_label_to_fixpoint(
         labels = new
         if converged:
             break
+    if not converged:
+        # Raise-don't-truncate (same policy as reachability above):
+        # unconverged min-labels would make scc() settle wrong components.
+        raise RuntimeError(
+            f"_min_label_to_fixpoint: labels still changing after "
+            f"{max_iterations} supersteps; raise max_iterations "
+            "(long-diameter graph)"
+        )
     return labels
 
 

@@ -252,6 +252,7 @@ def connected_components(
     """
     labels = vertices.select("id", vertices.id.alias("component"))
     prev_sum = None
+    converged = False
     for it in range(max_iterations):
         msgs = (
             sym.join(labels, sym.src == labels.id)
@@ -282,6 +283,15 @@ def connected_components(
             on_round(it)
         if converged:
             break
+    if not converged:
+        # Raise-don't-truncate (same policy as reachability,
+        # directed.py:57-62): silently returning unconverged labels would
+        # hand callers wrong components on a >budget-diameter graph.
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iterations} supersteps; raise max_iterations "
+            "(long-diameter graph) or use connected_components_two_phase"
+        )
     return labels.select("id", "component")
 
 

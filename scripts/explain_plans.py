@@ -210,6 +210,21 @@ def main() -> None:
         must_not=["BatchEvalPython", "CartesianProduct"],
     )
 
+    # 6. cosine_topk's brute-force path is only scale-safe because Spark
+    #    inserts WindowGroupLimit BELOW the shuffle (partial top-k per map
+    #    partition — without it, every scored candidate row would sort in
+    #    one window per query). Pin it so a filter-shape change can't
+    #    silently revert to a full per-query sort (VERDICT r4 next #5).
+    from pasgal_spark.functions.similarity import cosine_topk
+
+    p = plan_of(cosine_topk(emb))
+    check(
+        "cosine top-k (partial window group limit)",
+        p,
+        must=["WindowGroupLimit", "BroadcastNestedLoopJoin"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -169,3 +169,25 @@ def test_pagerank_blocked_matches_dataframe_kernel(spark):
     b = dict(kernels.pagerank(edges, verts, iterations=12).collect())
     for u in range(DI_N):
         assert math.isclose(a[u], b[u], abs_tol=1e-9)
+
+
+def test_min_label_raises_on_budget_exhaustion(spark):
+    """Unconverged min-labels would make scc() settle wrong components —
+    the fixpoint loop must raise when the budget runs out (VERDICT r4 #1)."""
+    import pytest
+
+    edges = edges_df(spark, [(i, i + 1) for i in range(9)])
+    labels = spark.createDataFrame([(i, i) for i in range(10)], "id long, lbl long")
+    with pytest.raises(RuntimeError, match="still changing"):
+        directed._min_label_to_fixpoint(edges, labels, max_iterations=5).collect()
+
+
+def test_min_label_succeeds_at_exact_budget_boundary(spark):
+    """Convergence exactly at max_iterations succeeds: a 10-chain needs 9
+    propagation rounds + 1 confirming round = 10 (probe-before-raise)."""
+    edges = edges_df(spark, [(i, i + 1) for i in range(9)])
+    labels = spark.createDataFrame([(i, i) for i in range(10)], "id long, lbl long")
+    got = dict(
+        directed._min_label_to_fixpoint(edges, labels, max_iterations=10).collect()
+    )
+    assert got == {i: 0 for i in range(10)}

@@ -111,3 +111,53 @@ def test_quality_score_monotone_in_stopwords(spark):
     docs = _docs(spark, ["the of and to in a is that for it", "xyzzy qwerty asdf"])
     out = {r["doc_id"]: r["quality"] for r in textstats.quality_score(docs).collect()}
     assert out[0] > out[1]
+
+
+def _rand_emb(spark, n=30, dim=64):
+    rows = [
+        (i, [float(((i * 131 + j * 17) % 19) - 9) / 3.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bucketed_ann_blocked_gram_matches_unblocked(spark, monkeypatch):
+    """Blocked Gram accumulation (BLOCK_BYTES peak bound, VERDICT r4 #6)
+    must be bit-identical to a single-block pass: same ascending-j fold per
+    element, only the row-range partitioning differs."""
+    emb = _rand_emb(spark)
+    whole = sorted(map(tuple, similarity.bucketed_ann(emb, k=3).collect()))
+    # shrink the budget so every bucket of >1 rows splits into many blocks
+    monkeypatch.setattr(similarity, "BLOCK_BYTES", 1)
+    blocked = sorted(map(tuple, similarity.bucketed_ann(emb, k=3).collect()))
+    assert whole == blocked and len(whole) > 0
+
+
+def test_bucketed_ann_rejects_zero_norm_embedding(spark):
+    """NaN cosine orders differently in NumPy vs SQL ORDER BY — the kernel
+    refuses zero-norm vectors rather than silently diverging (ADVICE r4)."""
+    import pytest
+
+    # two zero vectors share bucket 0 (no plane fires), so the kernel's
+    # norm check engages (a lone zero vector short-circuits at n < 2)
+    rows = [(0, [0.0] * 64), (1, [0.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="zero-norm"):
+        similarity.bucketed_ann(emb, k=1).collect()
+
+
+def test_similarity_kernels_reject_null_and_ragged_embeddings(spark):
+    """np.stack on a null/ragged batch used to crash mid-job with an opaque
+    error; the kernels now fail loudly naming the defect (ADVICE r4)."""
+    import pytest
+
+    null_emb = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="null embedding"):
+        similarity.hyperplane_buckets(null_emb).collect()
+    ragged = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 63)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="not 64-wide"):
+        similarity.hyperplane_buckets(ragged).collect()
