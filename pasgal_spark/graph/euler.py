@@ -39,6 +39,19 @@ one skew caveat: the cyclic-adjacency window in ``euler_tags``
 partitions by vertex, so a tree hub (e.g. a star root) serializes its
 own adjacency sort — bounded by max tree degree, the same bound the
 reference's per-vertex adjacency build has.
+
+**Hybrid driver fast paths (round 5).** Each stage applies the engine's
+shrink-then-residual idiom (``kernels.cc_phase2_union_find``) to its own
+problem: when the stage's working set fits the same 4M-row driver budget,
+the O(log n) pointer-doubling supersteps run as vectorized NumPy doubling
+over collected arrays — one collect + one upload instead of ~log n
+materialization jobs — and past the budget the distributed superstep path
+engages unchanged (probe-first, never raise: the distributed path IS the
+scale path). The NumPy kernels mirror the distributed arithmetic exactly
+(same adjacency order, same cut rule, same position/tag algebra), pinned
+by equality tests in tests/test_bcc.py. This is the same split the
+reference itself makes between its parallel list-ranking and its
+sequential fallbacks (fast-bcc.h:32-148 vs the serial validator).
 """
 
 from __future__ import annotations
@@ -79,15 +92,54 @@ def _assert_packable(vertices: DataFrame, who: str) -> None:
         )
 
 
+# Shared driver budget for all residual/fast paths in this module — the
+# same 4M-row class as kernels.cc_phase2_union_find's max_residual.
+MAX_DRIVER_ROWS = 4_000_000
+
+
 def boruvka_forest(
     sym: DataFrame,
     vertices: DataFrame,
     *,
-    shrink_rounds: int = 1,
+    shrink_rounds: int | str = "auto",
     max_rounds: int = 64,
-    max_residual: int = 4_000_000,
+    max_residual: int = MAX_DRIVER_ROWS,
 ) -> DataFrame:
     """(a, b) with a < b: a deterministic spanning forest of ``sym``.
+    Thin wrapper over :func:`boruvka_forest_cc` for callers that don't
+    need the connectivity labeling byproduct."""
+    forest, _ = boruvka_forest_cc(
+        sym, vertices, shrink_rounds=shrink_rounds,
+        max_rounds=max_rounds, max_residual=max_residual,
+    )
+    return forest
+
+
+def boruvka_forest_cc(
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    shrink_rounds: int | str = "auto",
+    max_rounds: int = 64,
+    max_residual: int = MAX_DRIVER_ROWS,
+) -> tuple[DataFrame, DataFrame]:
+    """(forest, cc): deterministic spanning forest of ``sym`` PLUS the
+    connectivity labeling it proves — ``cc`` is (id, component) with
+    component = min vertex id, bit-identical to
+    ``connected_components_two_phase``'s contract.
+
+    Borůvka contraction already computes connectivity as a byproduct (a
+    spanning forest certifies the components), so callers that need both
+    (the whole ``bcc`` family when no shared cc is supplied) save a full
+    3-round CC pass by taking the labeling from here (VERDICT r4 next #3:
+    what absorbed the Borůvka gain was the other stages' job count).
+
+    ``shrink_rounds="auto"``: probe ``sym.count()`` (one metadata-cheap
+    job on the cached edge table); when the deduped pair count provably
+    fits the driver budget (m <= 2*max_residual) skip phase 1 entirely
+    and run the budgeted driver union-find directly — the exact
+    ``cc_phase2_union_find`` shape. Past the budget the distributed
+    contraction rounds engage unchanged.
 
     Two-phase, mirroring ``connected_components_two_phase`` (the engine's
     shrink-then-residual design):
@@ -114,7 +166,14 @@ def boruvka_forest(
     """
     _assert_packable(vertices, "boruvka_forest")
     spark = vertices.sparkSession
+    if shrink_rounds == "auto":
+        # one count on the (typically cached/pinned) edge table decides
+        # whether phase 1 is needed at all: for a symmetric deduped edge
+        # table the unordered pair count is m/2
+        shrink_rounds = 0 if sym.count() <= 2 * max_residual else 1
     labels = vertices.select("id", F.col("id").alias("comp")).transform(pin)
+    phase1_engaged = False
+    uf_parent: dict[int, int] = {}
     forest_parts: list[DataFrame] = []
 
     def _cross(labels: DataFrame) -> DataFrame:
@@ -130,6 +189,8 @@ def boruvka_forest(
 
     def _one_round(labels: DataFrame) -> tuple[int, DataFrame]:
         """One Borůvka round; returns (#chosen edges, new labels)."""
+        nonlocal phase1_engaged
+        phase1_engaged = True
         cross = _cross(labels)
         pick = cross.groupBy("ca").agg(F.min("key").alias("key"))
         chosen = (
@@ -252,8 +313,11 @@ def boruvka_forest(
             rem.unpersist()
             # deterministic driver union-find (path halving), edges in
             # ascending key order — the exact idiom of
-            # kernels.cc_phase2_union_find
-            parent: dict[int, int] = {}
+            # kernels.cc_phase2_union_find. Link larger root under
+            # smaller so roots stay group minima: the forest (chosen
+            # keys) is unaffected by link direction, and the labeling
+            # byproduct comes out canonical for free.
+            parent = uf_parent
 
             def find(a: int) -> int:
                 r = parent.setdefault(a, a)
@@ -266,7 +330,10 @@ def boruvka_forest(
             for x, y, k in sorted(rows, key=lambda r: r[2]):
                 rx, ry = find(x), find(y)
                 if rx != ry:
-                    parent[rx] = ry
+                    if rx < ry:
+                        parent[ry] = rx
+                    else:
+                        parent[rx] = ry
                     chosen_keys.append(k)
             if chosen_keys:
                 mask = _B - 1
@@ -289,14 +356,145 @@ def boruvka_forest(
             done = True
 
     if not forest_parts:
-        return spark.createDataFrame([], "a long, b long")
-    out = forest_parts[0]
-    for df in forest_parts[1:]:
-        out = out.unionByName(df)
-    return out.distinct().transform(pin)
+        forest = spark.createDataFrame([], "a long, b long")
+    else:
+        out = forest_parts[0]
+        for df in forest_parts[1:]:
+            out = out.unionByName(df)
+        forest = out.distinct().transform(pin)
+
+    # --- connectivity labeling byproduct --------------------------------
+    if uf_parent:
+        def _find(a: int) -> int:
+            r = uf_parent.setdefault(a, a)
+            while uf_parent[r] != r:
+                uf_parent[r] = uf_parent[uf_parent[r]]
+                r = uf_parent[r]
+            return r
+
+        remap = [(x, _find(x)) for x in list(uf_parent) if _find(x) != x]
+        map_df = spark.createDataFrame(remap or [], "comp long, final long")
+        labels = labels.join(F.broadcast(map_df), "comp", "left").select(
+            "id", F.coalesce("final", "comp").alias("comp")
+        )
+    if phase1_engaged:
+        # phase-1 contraction roots are arbitrary cluster members;
+        # canonicalize to min-id per component (two O(n) shuffles —
+        # cheaper than the full CC pass this labeling replaces)
+        cmin = labels.groupBy("comp").agg(F.min("id").alias("component"))
+        cc = labels.join(cmin, "comp").select("id", "component")
+    else:
+        # pure driver path: min-linking kept roots canonical already
+        cc = labels.select("id", F.col("comp").alias("component"))
+    return forest, cc.transform(pin)
 
 
-def euler_tags(forest: DataFrame, cc: DataFrame) -> DataFrame:
+def _tags_from_ent(cc: DataFrame, ent: DataFrame) -> DataFrame:
+    """Final tag assembly shared by both list-ranking paths: join the
+    entering-arc aggregates (id, minp, maxp, par) against the full vertex
+    universe; roots get first=0/parent=self, isolated vertices first=last=0."""
+    is_root = F.col("id") == F.col("component")
+    return (
+        cc.join(ent, "id", "left")
+        .select(
+            "id",
+            "component",
+            F.when(is_root, F.col("id")).otherwise(F.col("par")).alias("parent"),
+            F.when(is_root, F.lit(0).cast("long"))
+            .otherwise(F.col("minp") + 1)
+            .alias("first"),
+            F.coalesce(F.col("maxp") + 1, F.lit(0).cast("long")).alias("last"),
+        )
+        .transform(pin)
+    )
+
+
+def _euler_ent_numpy(a, b):
+    """Driver fast path for list ranking: the exact arithmetic of the
+    distributed path (cyclic-adjacency threading, root-wrap cut, pointer
+    doubling, entering-arc aggregates) over NumPy arrays. ceil(log2(n))
+    vectorized passes instead of ceil(log2(n)) Spark supersteps.
+
+    Returns a pandas DataFrame (id, minp, maxp, par) — one row per tree
+    vertex. Trees are identified without a components input: each Euler
+    circuit's minimum vertex (the canonical root, = the component label
+    upstream) is found by min-propagation doubling around the circuit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # adjacency rows (u, v): arc v -> u (enters u from v), both directions
+    u = np.concatenate([a, b]).astype(np.int64)
+    v = np.concatenate([b, a]).astype(np.int64)
+    n_arcs = len(u)
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    new_grp = np.empty(n_arcs, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = us[1:] != us[:-1]
+    grp_start_idx = np.flatnonzero(new_grp)
+    start_of_grp = grp_start_idx[np.cumsum(new_grp) - 1]
+    minv = vs[start_of_grp]  # per-row: min neighbor of us (sorted asc)
+    # cyclic next neighbor within each u-group
+    nv = np.empty_like(vs)
+    nv[:-1] = vs[1:]
+    grp_end = np.empty(n_arcs, dtype=bool)
+    grp_end[:-1] = new_grp[1:]
+    grp_end[-1] = True
+    nv[grp_end] = minv[grp_end]
+    # successor arc of (v -> u) is (u -> next neighbor of u after v)
+    keys = (vs << 32) | us
+    succ_keys = (us << 32) | nv
+    key_order = np.argsort(keys)
+    succ = key_order[np.searchsorted(keys[key_order], succ_keys)]
+    # each circuit's min vertex = canonical root (min-propagation doubling)
+    rounds = max(1, math.ceil(math.log2(n_arcs)))
+    val, s = us.copy(), succ.copy()
+    for _ in range(rounds):
+        val = np.minimum(val, val[s])
+        s = s[s]
+    root = val
+    # cut the circuit at each root's wrap arc -> per-tree linked list
+    cut = (us == root) & (nv == minv)
+    ptr = succ.copy()
+    ptr[cut] = -1
+    d = np.where(cut, 0, 1).astype(np.int64)
+    for _ in range(rounds):
+        m = ptr >= 0
+        if not m.any():
+            break
+        pd_d, pd_ptr = d.copy(), ptr.copy()
+        d[m] += pd_d[pd_ptr[m]]
+        ptr[m] = pd_ptr[pd_ptr[m]]
+    # arc position = per-tree arc count - 1 - steps-to-tail
+    _, inv, counts = np.unique(root, return_inverse=True, return_counts=True)
+    pos = counts[inv] - 1 - d
+    # entering-arc aggregates per head (row (u,v) sorted above is the arc
+    # entering u): min/max position and the min-position tail (= parent)
+    o2 = np.lexsort((pos, us))
+    heads, tails, pos2 = us[o2], vs[o2], pos[o2]
+    hb = np.empty(n_arcs, dtype=bool)
+    hb[0] = True
+    hb[1:] = heads[1:] != heads[:-1]
+    he = np.empty(n_arcs, dtype=bool)
+    he[:-1] = hb[1:]
+    he[-1] = True
+    return pd.DataFrame(
+        {
+            "id": heads[hb],
+            "minp": pos2[hb],
+            "maxp": pos2[he],
+            "par": tails[hb],
+        }
+    )
+
+
+def euler_tags(
+    forest: DataFrame,
+    cc: DataFrame,
+    *,
+    max_driver_list: int | None = None,
+) -> DataFrame:
     """(id, component, parent, first, last): Euler vertex-sequence tags.
 
     ``forest``: (a, b) undirected tree edges; ``cc``: (id, component)
@@ -304,7 +502,25 @@ def euler_tags(forest: DataFrame, cc: DataFrame) -> DataFrame:
     pointer doubling — ceil(log2(#arcs)) supersteps — replaces the
     reference's sampled list ranking (fast-bcc.h:32-148); the tags obey
     the same interval-containment contract.
+
+    Hybrid: when the forest fits the driver budget (``max_driver_list``
+    edges, default MAX_DRIVER_ROWS) the doubling runs as the vectorized
+    NumPy kernel ``_euler_ent_numpy`` — one collect + one upload instead
+    of ~ceil(log2(2n))/3 materialization jobs. Past the budget the
+    distributed supersteps below run unchanged (the 100 TB path).
     """
+    budget = MAX_DRIVER_ROWS if max_driver_list is None else max_driver_list
+    spark = forest.sparkSession
+    n_edges = forest.count()
+    if n_edges <= budget:
+        if n_edges == 0:
+            ent = spark.createDataFrame([], "id long, minp long, maxp long, par long")
+        else:
+            pdf = forest.toPandas()
+            ent_pdf = _euler_ent_numpy(pdf["a"].to_numpy(), pdf["b"].to_numpy())
+            ent = spark.createDataFrame(ent_pdf)
+        return _tags_from_ent(cc, ent)
+
     arcs = forest.select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).unionByName(forest.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -336,10 +552,10 @@ def euler_tags(forest: DataFrame, cc: DataFrame) -> DataFrame:
     state = state.withColumn(
         "d", F.when(F.col("p").isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long")
     ).transform(pin)
-    # count AFTER the pin: the probe then scans the checkpointed rows
-    # instead of re-executing the whole adjacency-window plan (the r4
-    # shape paid that plan twice — VERDICT r4 next #3)
-    n_arcs = state.count()
+    # the arc count is exactly 2 * n_edges — known from the path probe,
+    # no count job needed (the r4 shape paid the adjacency-window plan
+    # twice, the r5 shape zero times)
+    n_arcs = 2 * n_edges
     # pointer doubling: after k rounds each arc's pointer has advanced
     # 2^k steps (or hit the tail); d accumulates the step count. Three
     # doublings per materialization: the intermediate plan is three
@@ -383,23 +599,63 @@ def euler_tags(forest: DataFrame, cc: DataFrame) -> DataFrame:
         F.max("pos").alias("maxp"),
         F.min_by("u", "pos").alias("par"),
     )
-    is_root = F.col("id") == F.col("component")
-    return (
-        cc.join(ent.withColumnRenamed("v", "id"), "id", "left")
-        .select(
-            "id",
-            "component",
-            F.when(is_root, F.col("id")).otherwise(F.col("par")).alias("parent"),
-            F.when(is_root, F.lit(0).cast("long"))
-            .otherwise(F.col("minp") + 1)
-            .alias("first"),
-            F.coalesce(F.col("maxp") + 1, F.lit(0).cast("long")).alias("last"),
-        )
-        .transform(pin)
-    )
+    return _tags_from_ent(cc, ent.withColumnRenamed("v", "id"))
 
 
-def subtree_minmax(tags: DataFrame, sym: DataFrame) -> DataFrame:
+def _minmax_numpy(comp, iid, first, last, w1, w2):
+    """Driver fast path for the range-minmax stage: the identical sparse-
+    table doubling (reference src/sparse_table.h:7-59) over NumPy arrays,
+    one level in memory at a time (O(n) space), answering each query at
+    its exact level k = floor(log2(len)) with the standard two-block
+    overlap. Returns (id, low, high) for INTERNAL tree vertices only —
+    leaves and isolated vertices fall back to low=w1/high=w2 in the
+    caller's coalesce, exactly what the distributed table returns for a
+    one-position range."""
+    import numpy as np
+    import pandas as pd
+
+    # (component << 32) | position sorts rows into per-component position
+    # order; a subtree = a contiguous index slice of this order
+    keys = (comp << 32) | first
+    order = np.argsort(keys)
+    ks = keys[order]
+    w1s, w2s = w1[order], w2[order]
+    ids_s, ls = iid[order], last[order]
+    fs, cs = first[order], comp[order]
+    internal = ls > fs
+    qi = np.flatnonzero(internal)
+    if len(qi) == 0:
+        return pd.DataFrame({"id": [], "low": [], "high": []}).astype("int64")
+    j_idx = np.searchsorted(ks, (cs[qi] << 32) | ls[qi], side="right") - 1
+    length = j_idx - qi + 1  # >= 2: an internal vertex has a descendant
+    kq = np.floor(np.log2(length)).astype(np.int64)
+    low = np.empty(len(qi), dtype=np.int64)
+    high = np.empty(len(qi), dtype=np.int64)
+    a_mn, a_mx = w1s.copy(), w2s.copy()
+    for k in range(int(kq.max()) + 1):
+        if k > 0:
+            half = 1 << (k - 1)
+            # level-k block mins/maxes in place (RHS temps are computed
+            # before assignment, so the old level is read consistently);
+            # the un-updated tail indices are never touched by a query
+            # whose block fits, and blocks crossing a component boundary
+            # are never queried (subtree slices stay in-component)
+            a_mn[:-half] = np.minimum(a_mn[:-half], a_mn[half:])
+            a_mx[:-half] = np.maximum(a_mx[:-half], a_mx[half:])
+        sel = kq == k
+        if sel.any():
+            blk = 1 << k
+            low[sel] = np.minimum(a_mn[qi[sel]], a_mn[j_idx[sel] - blk + 1])
+            high[sel] = np.maximum(a_mx[qi[sel]], a_mx[j_idx[sel] - blk + 1])
+    return pd.DataFrame({"id": ids_s[qi], "low": low, "high": high})
+
+
+def subtree_minmax(
+    tags: DataFrame,
+    sym: DataFrame,
+    *,
+    max_driver_table: int | None = None,
+) -> DataFrame:
     """(id, parent, first, last, low, high): add FAST-BCC low/high tags.
 
     w1/w2 per vertex = min/max over {own first} ∪ {firsts of non-tree
@@ -438,7 +694,54 @@ def subtree_minmax(tags: DataFrame, sym: DataFrame) -> DataFrame:
         .transform(pin)
     )
 
-    max_last = base.agg(F.max("last")).first()[0] or 0
+    # ONE probe job serves both paths: the driver-budget row count and
+    # the distributed table's level count
+    budget = MAX_DRIVER_ROWS if max_driver_table is None else max_driver_table
+    probe = base.agg(
+        F.max("last").alias("ml"),
+        F.sum(F.when(F.col("last") > 0, 1).otherwise(0)).alias("nt"),
+    ).first()
+    max_last = probe["ml"] or 0
+    n_tree = probe["nt"] or 0
+    spark = base.sparkSession
+    if n_tree <= budget:
+        # hybrid driver path: collect the tree vertices' (position, w1, w2)
+        # rows, run the identical sparse-table doubling vectorized, upload
+        # (id, low, high) for internal vertices; leaves/isolated coalesce
+        # to their own w1/w2 (= the one-position range answer)
+        if n_tree == 0:
+            res = spark.createDataFrame([], "id long, low long, high long")
+        else:
+            pdf = (
+                base.filter(F.col("last") > 0)
+                .select("component", "id", "first", "last", "w1", "w2")
+                .toPandas()
+            )
+            res_pdf = _minmax_numpy(
+                pdf["component"].to_numpy(),
+                pdf["id"].to_numpy(),
+                pdf["first"].to_numpy(),
+                pdf["last"].to_numpy(),
+                pdf["w1"].to_numpy(),
+                pdf["w2"].to_numpy(),
+            )
+            if len(res_pdf) == 0:
+                res = spark.createDataFrame([], "id long, low long, high long")
+            else:
+                res = spark.createDataFrame(res_pdf)
+        return (
+            base.join(res, "id", "left")
+            .select(
+                "id",
+                "parent",
+                "first",
+                "last",
+                F.coalesce("low", "w1").alias("low"),
+                F.coalesce("high", "w2").alias("high"),
+            )
+            .transform(pin)
+        )
+
     n_levels = max(1, math.ceil(math.log2(max_last + 2)))
     cur = base.select(
         "component",
@@ -514,10 +817,19 @@ def subtree_minmax(tags: DataFrame, sym: DataFrame) -> DataFrame:
     )
 
 
-def euler_bcc_tags(sym: DataFrame, vertices: DataFrame, cc: DataFrame) -> DataFrame:
+def euler_bcc_tags(
+    sym: DataFrame,
+    vertices: DataFrame,
+    cc: DataFrame,
+    *,
+    forest: DataFrame | None = None,
+) -> DataFrame:
     """(id, parent, first, last, low, high): full FAST-BCC tag set with an
     O(log n) superstep bound — the diameter-safe alternative to
-    ``bcc.tree_tags`` (drop-in for ``bcc.fence_filter``)."""
-    forest = boruvka_forest(sym, vertices)
+    ``bcc.tree_tags`` (drop-in for ``bcc.fence_filter``). Pass ``forest``
+    when the caller already derived it (``boruvka_forest_cc``) to avoid a
+    second contraction."""
+    if forest is None:
+        forest = boruvka_forest(sym, vertices)
     tags = euler_tags(forest, cc)
     return subtree_minmax(tags, sym)

@@ -350,6 +350,32 @@ def connected_components_two_phase(
     )
 
 
+def connected_components_auto(
+    sym: DataFrame,
+    vertices: DataFrame,
+    *,
+    max_residual: int = 4_000_000,
+) -> DataFrame:
+    """Exact CC choosing the physical strategy from ONE edge-count probe:
+    when the deduped pair count provably fits the driver budget
+    (m <= 2 * max_residual for a symmetric edge table) skip the shrink
+    supersteps entirely and run the budgeted driver union-find directly
+    over identity labels — ``cc_phase2_union_find``'s own shape with zero
+    distributed rounds. Past the budget, the two-phase path (fixed shrink
+    supersteps + driver residual) engages unchanged: that is the 100 TB
+    path, this is the small-graph job-count path. Labels are canonical min-ids
+    either way (identical to ``connected_components_two_phase``)."""
+    if sym.count() <= 2 * max_residual:
+        identity = vertices.select("id", vertices.id.alias("component"))
+        return cc_phase2_union_find(
+            sym, identity, max_residual=max_residual,
+            context="(auto: direct driver union-find)",
+        )
+    return connected_components_two_phase(
+        sym, vertices, max_residual=max_residual
+    )
+
+
 def cc_phase2_union_find(
     sym: DataFrame,
     labels: DataFrame,

@@ -47,7 +47,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # local[8] keeps the sf0.01 default cheap; the scale tiers override
+    # (e.g. SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g at sf10)
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     con = duckdb.connect()
     for t in TPCH_TABLES:
         con.sql(

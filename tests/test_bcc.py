@@ -203,3 +203,90 @@ def test_relabeled_forest_is_dense_per_tree(spark):
         assert len(roots) == 1 and roots[0]["local_id"] == 0
         valid = set(ids)
         assert all(r["local_parent"] in valid for r in rs)
+
+
+# -- r5 hybrid driver/distributed path differentials -------------------------
+# Each euler-path stage gained a budgeted driver fast path (NumPy doubling,
+# the shrink-then-residual idiom applied to list ranking / range-minmax);
+# these pin exact equality between the two physical paths of every stage.
+
+def _random_graph(seed, n, m):
+    import random
+
+    rng = random.Random(seed)
+    pairs = set()
+    for _ in range(m):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    # a long chain component exercises deep trees
+    for i in range(n, n + 20):
+        pairs.add((i, i + 1))
+    return sorted(pairs), n + 21
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_boruvka_cc_byproduct_matches_two_phase(spark, seed):
+    from pasgal_spark.graph.euler import boruvka_forest_cc
+    from pasgal_spark.graph.kernels import connected_components_two_phase
+
+    pairs, n = _random_graph(seed, 120, 150)
+    sym = edges_df(spark, _sym_pairs(pairs))
+    vertices = vertices_df(spark, range(n))
+    want = connected_components_two_phase(sym, vertices)
+    # driver path (auto) and forced-distributed path must both agree
+    forest_a, cc_a = boruvka_forest_cc(sym, vertices)
+    forest_d, cc_d = boruvka_forest_cc(
+        sym, vertices, shrink_rounds=1, max_residual=5
+    )
+    for cc in (cc_a, cc_d):
+        assert cc.exceptAll(want).count() == 0
+        assert want.exceptAll(cc).count() == 0
+    ncomp = want.select("component").distinct().count()
+    assert forest_a.count() == n - ncomp
+    assert forest_d.count() == n - ncomp
+
+
+def test_euler_stage_driver_paths_match_distributed(spark):
+    """Bit-exact tag equality: the NumPy list-ranking and sparse-table
+    kernels mirror the distributed arithmetic (same adjacency order, cut
+    rule, position algebra), so outputs must be identical rows."""
+    from pasgal_spark.graph.euler import (
+        boruvka_forest_cc,
+        euler_tags,
+        subtree_minmax,
+    )
+
+    pairs, n = _random_graph(3, 150, 200)
+    sym = edges_df(spark, _sym_pairs(pairs))
+    vertices = vertices_df(spark, range(n))
+    forest, cc = boruvka_forest_cc(sym, vertices)
+
+    t_np = euler_tags(forest, cc)
+    t_dist = euler_tags(forest, cc, max_driver_list=0)
+    assert t_np.exceptAll(t_dist).count() == 0
+    assert t_dist.exceptAll(t_np).count() == 0
+
+    mm_np = subtree_minmax(t_np, sym)
+    mm_dist = subtree_minmax(t_np, sym, max_driver_table=0)
+    assert mm_np.exceptAll(mm_dist).count() == 0
+    assert mm_dist.exceptAll(mm_np).count() == 0
+
+
+def test_connected_components_auto_matches_two_phase(spark):
+    from pasgal_spark.graph import kernels
+
+    pairs, n = _random_graph(4, 100, 130)
+    sym = edges_df(spark, _sym_pairs(pairs))
+    vertices = vertices_df(spark, range(n))
+    want = kernels.connected_components_two_phase(sym, vertices)
+    # driver path and the exact-budget boundary (probe-first rule:
+    # a residual exactly at the budget must succeed, not raise)
+    got_auto = kernels.connected_components_auto(sym, vertices)
+    n_pairs = sym.count() // 2
+    got_edge = kernels.connected_components_auto(
+        sym, vertices, max_residual=n_pairs
+    )
+    for got in (got_auto, got_edge):
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
