@@ -1,21 +1,25 @@
-"""Multimodal columns: opaque binary payloads + typed metadata.
+"""Multimodal columns: binary payloads + typed metadata, REAL decode.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 metadata struct — the same pattern as the ``html: binary`` pages column.
-The Spark-side plumbing (schemas, Arrow batch shapes, partition-preserving
-``mapInPandas`` transforms) is real and tested; the codec step itself is
-stubbed because media libraries are not available in this container:
+As of round 5 the decode stage is *real*, not stubbed: the container has
+no PIL/ffmpeg, but PNG/BMP/WAV/frame-container codecs need only stdlib
+(``functions.codecs``), so ``decode_image`` / ``decode_audio`` /
+``resize_images`` / ``frame_sample_decoded`` genuinely decode pixel and
+sample data inside Arrow-batched ``mapInPandas`` kernels.
 
-- ``decode_image`` raises ``NotImplementedError`` unless a PIL-compatible
-  decoder is importable (import-gated, never a hard dependency);
-- ``fake_decode_image`` is the deterministic test double: it "decodes" the
-  payload into a small fixed-shape feature vector derived from the bytes
-  (md5-seeded), exercising the identical UDF signature, schema and batch
-  path that a real decoder would use.
+``synthesize_real_media`` produces payloads that are real encoded media
+(PNG images, PCM16 WAVs, PNG-frame video containers), deterministic per
+(media_id, seed) — so decode tests verify actual pixels/samples, not
+hashes. The legacy opaque-bytes synthesizer and the md5 feature double
+are kept for the plumbing-only tests.
 
 At 100 TB the payloads dominate storage: transforms below never shuffle
-payload bytes — feature extraction happens in ``mapInPandas`` on the scan
-partitioning and only the (tiny) features are aggregated downstream.
+payload bytes — decode/feature extraction happens in ``mapInPandas`` on
+the scan partitioning and only the (tiny) features/frames are aggregated
+downstream. Formats outside the stdlib codec scope (JPEG, H.264, ...)
+raise loudly per payload; a cluster deployment would register richer
+codecs behind the same batch signature.
 """
 
 from __future__ import annotations
@@ -27,6 +31,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from pasgal_spark.functions import codecs
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, width int, height int, "
@@ -91,16 +97,222 @@ def fake_decode_image(media: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
     ).mapInPandas(batches, "media_id long, features array<double>")
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Real decoder — import-gated; unavailable in this container."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "image decoding requires a PIL-compatible library, not present "
-            "in this environment; use fake_decode_image for the pipeline path"
-        ) from e
-    raise NotImplementedError("real decoder wiring reserved for round 2+")
+def synthesize_real_media(
+    spark: SparkSession, n: int, *, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic media table whose payloads are REAL encoded media.
+
+    kind cycles image/audio/video by ``media_id % 3``:
+
+    - image: PNG, (16 + id%17) x (12 + id%13) RGB gradient + id-seeded noise;
+    - audio: 0.1 s PCM16 WAV at 16 kHz, sine at 220 + (id%32)*55 Hz;
+    - video: PVC1 container of 3 + id%4 small PNG frames.
+
+    Encoding runs in an Arrow-batched ``mapInPandas`` over ``spark.range``
+    — the same distributed shape a real ingest would have. Determinism:
+    everything derives from (media_id, seed) through NumPy's counter-based
+    Philox generator, so any executor produces identical bytes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                rng = np.random.default_rng(np.random.Philox(key=seed + mid))
+                kind = ("image", "audio", "video")[mid % 3]
+                width = height = sample_rate = None
+                if kind == "image":
+                    height, width = 12 + mid % 13, 16 + mid % 17
+                    yy, xx = np.mgrid[0:height, 0:width]
+                    base = (yy * 7 + xx * 11) % 256
+                    img = np.stack(
+                        [base, (base + 85) % 256, (base + 170) % 256], axis=2
+                    ).astype(np.uint8)
+                    noise = rng.integers(0, 32, size=img.shape, dtype=np.uint8)
+                    payload = codecs.encode_png(img + noise)
+                elif kind == "audio":
+                    sample_rate = 16000
+                    t = np.arange(1600) / sample_rate
+                    freq = 220 + (mid % 32) * 55
+                    payload = codecs.encode_wav(
+                        0.4 * np.sin(2 * np.pi * freq * t), sample_rate
+                    )
+                else:
+                    frames = [
+                        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                        for _ in range(3 + mid % 4)
+                    ]
+                    payload = codecs.encode_video(frames)
+                rows.append((mid, kind, payload, width, height, sample_rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height",
+                    "sample_rate",
+                ],
+            )
+
+    rng_df = spark.range(n, numPartitions=partitions)
+    return rng_df.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def decode_image(media: DataFrame, *, gray_dim: int = 8) -> DataFrame:
+    """(media_id, width, height, mean_r, mean_g, mean_b, gray_thumb): real
+    PNG/BMP decode + feature extraction.
+
+    Payload bytes never shuffle: the mapInPandas kernel runs on the scan
+    partitioning and emits only the narrow feature relation. ``gray_thumb``
+    is the ``gray_dim``x``gray_dim`` nearest-resized BT.601 luma, row-major
+    — the classic perceptual-hash precursor.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(p)
+                img = (
+                    codecs.decode_bmp(data)
+                    if data[:2] == b"BM"
+                    else codecs.decode_png(data)
+                )
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=2)
+                thumb = codecs.rgb_to_gray(
+                    codecs.resize_nearest(img, gray_dim, gray_dim)
+                )
+                means = img[:, :, :3].reshape(-1, img.shape[2])[:, :3].mean(axis=0)
+                rows.append(
+                    (
+                        int(mid), img.shape[1], img.shape[0],
+                        float(means[0]), float(means[1]), float(means[2]),
+                        thumb.reshape(-1).astype(np.int64).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mean_r", "mean_g",
+                    "mean_b", "gray_thumb",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        batches,
+        "media_id long, width int, height int, mean_r double, "
+        "mean_g double, mean_b double, gray_thumb array<long>",
+    )
+
+
+def decode_audio(media: DataFrame, *, frame_ms: int = 25) -> DataFrame:
+    """(media_id, sample_rate, n_samples, duration_sec, rms, peak,
+    frame_rms array<double>): real PCM16 WAV decode + frame energies.
+
+    ``frame_rms`` is the per-``frame_ms`` RMS envelope — the standard
+    first stage of VAD / silence trimming in audio data pipelines.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = codecs.decode_wav(bytes(p))
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                hop = max(1, rate * frame_ms // 1000)
+                n_frames = n // hop
+                frames = mono[: n_frames * hop].reshape(n_frames, hop)
+                frame_rms = np.sqrt((frames**2).mean(axis=1))
+                rows.append(
+                    (
+                        int(mid), rate, n, n / rate,
+                        float(np.sqrt((mono**2).mean())),
+                        float(np.abs(mono).max()),
+                        frame_rms.tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_sec",
+                    "rms", "peak", "frame_rms",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        batches,
+        "media_id long, sample_rate int, n_samples long, "
+        "duration_sec double, rms double, peak double, "
+        "frame_rms array<double>",
+    )
+
+
+def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
+    """(media_id, payload): decode -> nearest-resize -> re-encode PNG.
+
+    The archetypal payload-to-payload transform (thumbnailing a 100 TB
+    image corpus): both ends stay inside one mapInPandas pass, so the only
+    shuffled bytes are the (smaller) output payloads if a later stage
+    repartitions them.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(p)
+                img = (
+                    codecs.decode_bmp(data)
+                    if data[:2] == b"BM"
+                    else codecs.decode_png(data)
+                )
+                rows.append(
+                    (int(mid), codecs.encode_png(
+                        codecs.resize_nearest(img, width, height)
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, "media_id long, payload binary")
+
+
+def frame_sample_decoded(media: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """(media_id, frame_idx, height, width, mean_gray): real container
+    frame sampling — seeks past skipped frames without decoding them
+    (codecs.decode_video_frames), decodes every ``every_n``-th PNG frame,
+    emits per-frame stats. The narrow output keeps frame pixels out of
+    any shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for idx, frame in codecs.decode_video_frames(
+                    bytes(p), every_n=every_n
+                ):
+                    g = codecs.rgb_to_gray(frame)
+                    rows.append(
+                        (int(mid), idx, frame.shape[0], frame.shape[1],
+                         float(g.mean()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "height", "width", "mean_gray"],
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(
+        batches,
+        "media_id long, frame_idx int, height int, width int, mean_gray double",
+    )
 
 
 def frame_sample(media: DataFrame, *, every_n: int = 10) -> DataFrame:
