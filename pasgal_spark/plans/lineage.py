@@ -44,16 +44,44 @@ _warned_fallback = False
 def pin(df: DataFrame) -> DataFrame:
     """Eagerly materialize ``df``, truncate lineage, and reset plan stats.
 
-    Known tradeoff vs the bare checkpoint: the rebuilt ``LogicalRDD`` does
-    not carry the checkpoint's outputPartitioning/ordering, so a consumer
-    keyed on the same columns re-exchanges the (small) state side. That is
-    the price of O(1)-bit stats; the engine's explain assertions
-    (scripts/explain_plans.py) pin down that the *edge* side — the O(m)
-    relation — never re-exchanges.
+    The rebuilt ``LogicalRDD`` is a case-class ``copy`` of the checkpoint's
+    own plan with ``originStats``/``originConstraints`` dropped: stats reset
+    to the conf default (O(1) bits per generation), while everything the
+    checkpoint captured — output attributes, ``outputPartitioning``,
+    ``outputOrdering`` — carries through, so a consumer keyed on the same
+    columns can reuse the materialized layout instead of re-exchanging the
+    state side.
+
+    Measured caveat (Spark 4.1, recorded in BASELINE.md r5): with AQE
+    enabled (the engine default) ``Dataset.localCheckpoint`` itself captures
+    ``UnknownPartitioning`` — the adaptive physical root does not expose the
+    final partitioning at checkpoint time — so under AQE this preserves
+    nothing and the (small, O(n)-row) state side re-exchanges per superstep,
+    exactly as with a bare checkpoint. With AQE off the partitioning is
+    captured and reused (explain-asserted in tests). The engine's explain
+    assertions (scripts/explain_plans.py) pin down that the *edge* side —
+    the O(m) relation — never re-exchanges either way.
     """
     global _warned_fallback
     ck = df.localCheckpoint(eager=True)
     try:
+        sess = ck.sparkSession
+        jvm = sess._jvm  # type: ignore[attr-defined]
+        lr = ck._jdf.queryExecution().analyzed()  # type: ignore[attr-defined]
+        none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        fresh = lr.copy(
+            lr.output(), lr.rdd(), lr.outputPartitioning(), lr.outputOrdering(),
+            lr.isStreaming(), lr.stream(), sess._jsparkSession, none, none,
+        )
+        jds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            sess._jsparkSession, fresh
+        )
+        return DataFrame(jds, sess)
+    except Exception:
+        pass
+    try:
+        # Older fallback: rebuild over the checkpointed RDD (stats reset,
+        # partitioning dropped) — covers a non-LogicalRDD analyzed plan.
         jdf = ck._jdf  # type: ignore[attr-defined]
         jrdd = jdf.queryExecution().toRdd()
         jschema = jdf.schema()
