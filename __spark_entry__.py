@@ -477,7 +477,7 @@ def oracle_sql() -> dict[str, str]:
         toks AS (SELECT doc_id, unnest(list_distinct({SHINGLES})) AS tok FROM toklists),
         mhbase AS (SELECT doc_id, {DH("tok")} % {MINHASH_P} AS h0 FROM toks),
         seeded AS (SELECT doc_id, h0, seed
-                   FROM mhbase, (SELECT CAST(unnest(range(8)) AS INT) AS seed) seeds),
+                   FROM mhbase, (SELECT CAST(unnest(range({dedup.NUM_HASHES})) AS INT) AS seed) seeds),
         sigs AS (
           SELECT doc_id, seed,
                  min(((seed * 2 + 1) * h0 + seed * {MINHASH_B}) % {MINHASH_P}) AS minhash
@@ -488,13 +488,15 @@ def oracle_sql() -> dict[str, str]:
         {MINHASH_SIGS},
         piv AS (
           SELECT doc_id,
-                 {", ".join(f"min(CASE WHEN seed = {k} THEN minhash END) AS m{k}" for k in range(8))}
+                 {", ".join(f"min(CASE WHEN seed = {k} THEN minhash END) AS m{k}" for k in range(dedup.NUM_HASHES))}
           FROM sigs GROUP BY doc_id
         ),
         bands AS (
           {" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band, md5(concat(CAST(m{2*b} AS STRING), '_', CAST(m{2*b+1} AS STRING))) AS band_hash FROM piv"
-            for b in range(4)
+            "SELECT doc_id, %d AS band, md5(concat(%s)) AS band_hash FROM piv"
+            % (b, ", '_', ".join(f"CAST(m{b * (dedup.NUM_HASHES // dedup.BANDS) + r} AS STRING)"
+                                 for r in range(dedup.NUM_HASHES // dedup.BANDS)))
+            for b in range(dedup.BANDS)
           )}
         ),
         bands_ok AS (

@@ -25,8 +25,19 @@ from pasgal_spark.functions.textstats import (
     tokens,
 )
 
-NUM_HASHES = 8
-BANDS = 4  # rows-per-band = NUM_HASHES // BANDS = 2
+# MinHash/LSH selectivity (r5 retune, was 8 hashes / 4 bands / r=2).
+# r=2 rows-per-band made candidate noise quadratic in corpus size: the sf10
+# probe measured Σ bucket-pairs 1.02M -> 97.3M for 10x docs (95x) because a
+# random-pair band collision needs only TWO minhash agreements — at 10^12
+# docs that extrapolates to ~1e18 candidates, a scale non-starter. r=4
+# squares the per-band noise rate (same probe: 97.3M -> ~0.5M, now dominated
+# by the genuine dup cluster, i.e. linear in the true output), while 8 bands
+# keep recall at the J=0.7 verify threshold at 1-(1-0.7^4)^8 ≈ 0.89 and
+# exact dups (J=1) still collide in every band. The extra 24 hash lanes are
+# map-side-combined columns in the ONE signature aggregate — linear, cheap,
+# exactly the right trade against a quadratic candidate join.
+NUM_HASHES = 32
+BANDS = 8  # rows-per-band = NUM_HASHES // BANDS = 4
 MAX_BUCKET = 5_000  # LSH bucket-size skew cap (see lsh_candidate_pairs)
 MINHASH_P = 2**40       # permutation modulus (keeps a_i*h in int64)
 MINHASH_B = 981_467     # permutation offset stride
