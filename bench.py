@@ -196,7 +196,12 @@ def main() -> None:
     c = dedup.corpus(spark, sf_dir)
     timed("minhash_lsh_jaccard", lambda: dedup.near_dup_pipeline(c).count())
     emb = spark.table("embeddings")
+    # brute-force cosine top-k is the *baseline* (definitionally quadratic:
+    # every query row scans the full corpus) — bucketed_ann is the scale
+    # path (LSH-bucketed Gram kernels, cost Σ bucket² not n²); bench both
+    # so the crossover is visible per tier.
     timed("cosine_topk", lambda: similarity.cosine_topk(emb).count())
+    timed("bucketed_ann", lambda: similarity.bucketed_ann(emb).count())
 
     sentinel_after = noise_sentinel(spark)
     sentinel_min = min(sentinel_before + sentinel_after)
