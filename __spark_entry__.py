@@ -667,10 +667,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
         """,
         "pricing_summary": """
+            -- money sums in exact decimal, matching the engine: a double
+            -- SUM over 60M rows differs between engines in the last ulp
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
                    round(avg(l_discount), 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
@@ -678,7 +681,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_revenue_orders": """
             WITH rev AS (
-              SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              SELECT l_orderkey,
+                     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
               FROM lineitem GROUP BY l_orderkey
             )
             SELECT o_orderkey AS orderkey, o_orderpriority, revenue

@@ -85,17 +85,31 @@ def event_histogram(events: DataFrame) -> DataFrame:
 
 # --- relational coverage over the TPC-H-ish tables ------------------------
 
+def _money(col: str):
+    """Money/quantity column as decimal(18,4): summed in exact decimal so the
+    result is independent of partition/summation order. A double SUM over
+    tens of millions of rows differs between engines in the last ulp (the
+    sf10 gate caught sum_disc_price off by 0.01 after rounding vs DuckDB);
+    decimal addition is associative, so any plan shape yields one answer."""
+    return F.col(col).cast("decimal(18,4)")
+
+
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
-    """Q1-style aggregate sweep (filter → groupBy → multi-agg)."""
+    """Q1-style aggregate sweep (filter → groupBy → multi-agg).
+
+    Sums run in decimal (see ``_money``) and cast to double only after the
+    final round — bit-deterministic across engines and cluster sizes.
+    """
+    one = F.lit(1).cast("decimal(18,4)")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_money("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_money("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+                F.sum(_money("l_extendedprice") * (one - _money("l_discount"))), 2
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -104,12 +118,13 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
 
 def top_revenue_orders(orders: DataFrame, lineitem: DataFrame, k: int = 10) -> DataFrame:
     """Q3-style join + agg + top-k."""
+    one = F.lit(1).cast("decimal(18,4)")
     rev = (
         lineitem.groupBy("l_orderkey")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(_money("l_extendedprice") * (one - _money("l_discount"))), 2
+            ).cast("double").alias("revenue")
         )
     )
     return (

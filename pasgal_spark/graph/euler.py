@@ -83,6 +83,17 @@ def _unpack_b(key):
 
 
 def _assert_packable(vertices: DataFrame, who: str) -> None:
+    """Loud [0, 2^31) id-range gate for the packed-key euler path.
+
+    Same bound class as the reference's u32 NodeId (src/graph.h:53). A
+    corpus whose id dictionary exceeds 2.1B vertices has two widening
+    paths, both mechanical: (a) pack into decimal(38,0) — exact to 2^63
+    per half at ~2x shuffle width — or (b) drop packing and carry (a, b)
+    as a two-column struct key through the joins/windows (Spark supports
+    struct equi-join keys; costs one extra column of shuffle). Until a
+    workload hits the bound, the packed long stays: half the key bytes
+    per shuffled row on the hottest columns.
+    """
     lo, hi = vertices.agg(F.min("id"), F.max("id")).first()
     if lo is not None and (lo < 0 or hi >= 2 ** 31):
         raise ValueError(
