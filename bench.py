@@ -228,6 +228,16 @@ def main() -> None:
                     "after_sec": sentinel_after,
                     "nominal_sec": SENTINEL_NOMINAL_SEC,
                     "inflation": round(sentinel_min / SENTINEL_NOMINAL_SEC, 2),
+                    # per-phase stamps: a window can start loaded and clear
+                    # mid-suite (measured r5: before 4.8x, after 0.8x — the
+                    # combined min alone would have read as clean while the
+                    # first queries ran inflated)
+                    "inflation_before": round(
+                        min(sentinel_before) / SENTINEL_NOMINAL_SEC, 2
+                    ),
+                    "inflation_after": round(
+                        min(sentinel_after) / SENTINEL_NOMINAL_SEC, 2
+                    ),
                 },
             }
         )
