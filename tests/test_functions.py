@@ -161,3 +161,49 @@ def test_similarity_kernels_reject_null_and_ragged_embeddings(spark):
     )
     with pytest.raises(Exception, match="not 64-wide"):
         similarity.hyperplane_buckets(ragged).collect()
+
+
+def test_pricing_summary_sums_are_partition_order_invariant(spark):
+    """Money sums aggregate in decimal(18,4) so the result is one exact
+    answer under ANY partitioning/summation order — the sf10 gate caught a
+    double SUM differing from the oracle in the last rounded cent purely
+    from fp association order (BASELINE.md r5 defect #6). Pin the property
+    the fix exists for: identical bytes across adversarial repartitionings."""
+    import datetime
+    import random
+
+    from pasgal_spark.functions import events as ev
+
+    rng = random.Random(42)
+    rows = [
+        (
+            "A" if i % 3 else "R",
+            "F" if i % 2 else "O",
+            float(rng.randint(1, 50)),
+            # prices with cents that stress the rounded last digit
+            rng.randint(100, 99999) / 100.0,
+            rng.randint(0, 10) / 100.0,
+            datetime.date(1997, 1, 1 + (i % 28)),
+        )
+        for i in range(5000)
+    ]
+    schema = (
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_shipdate date"
+    )
+    li = spark.createDataFrame(rows, schema)
+
+    def snapshot(df):
+        out = ev.pricing_summary(df).collect()
+        return sorted(
+            (r["l_returnflag"], r["l_linestatus"], r["sum_qty"],
+             r["sum_base_price"], r["sum_disc_price"], r["avg_disc"],
+             r["count_order"])
+            for r in out
+        )
+
+    base = snapshot(li.coalesce(1))
+    # adversarial orders: many tiny partitions, hash-scattered, reversed
+    assert snapshot(li.repartition(37)) == base
+    assert snapshot(li.repartition(11, "l_discount")) == base
+    assert snapshot(li.orderBy("l_extendedprice", ascending=False)) == base
