@@ -249,19 +249,34 @@ def connected_components(
     SURVEY.md §7.4). Pointer-jumping (label-of-label shortcut) gives
     O(log n)-ish rounds on long-diameter graphs — the declarative analog of
     ``find_compress`` path halving (external/connectivity.h:7-20).
+
+    Frontier-based message passing (fused delta, same induction as
+    ``label_propagation``): only vertices whose label changed last round
+    (by relaxation OR pointer jump) send, so late rounds — when most of
+    the graph has settled — shuffle frontier-incident edges instead of
+    |E|. A stalled frontier is a true fixpoint: any u that still
+    disagreed with a neighbor would have delivered its final label the
+    round it last changed. The pointer-jump self-join stays over the full
+    state (it is O(|V|), not O(|E|), and jump targets need not be in the
+    frontier).
     """
     labels = vertices.select("id", vertices.id.alias("component"))
-    prev_sum = None
+    frontier = labels  # round 0: every vertex is a sender
     converged = False
     for it in range(max_iterations):
         msgs = (
-            sym.join(labels, sym.src == labels.id)
-            .select(sym.dst.alias("id"), "component")
+            sym.join(frontier, sym.src == frontier.id)
+            .select(
+                sym.dst.alias("id"),
+                "component",
+                F.lit(None).cast("long").alias("old"),
+            )
         )
+        st = labels.select("id", "component", F.col("component").alias("old"))
         new = (
-            labels.unionByName(msgs)
+            st.unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.min("old").alias("old"))
         )
         if pointer_jump:
             parent = new.select(
@@ -269,16 +284,21 @@ def connected_components(
             )
             new = (
                 new.join(parent, "component", "left")
-                .select("id", F.least("component", "grand").alias("component"))
+                .select(
+                    "id",
+                    F.least("component", "grand").alias("component"),
+                    "old",
+                )
             )
         new = _truncate(new, it, checkpoint_every)
-        # Labels are monotonically non-increasing, so the label-sum is a
-        # strictly decreasing potential function: one cheap aggregate
-        # replaces a join-based change count (no second shuffle).
-        new_sum = new.agg(F.sum("component")).first()[0]
-        converged = it > 0 and new_sum == prev_sum
-        prev_sum = new_sum
-        labels = new
+        # One cheap count on the cached state materializes the generation
+        # AND decides convergence: empty frontier ⟺ no label changed ⟺
+        # fixpoint (labels are monotone non-increasing).
+        frontier = new.filter(F.col("component") < F.col("old")).select(
+            "id", "component"
+        )
+        converged = frontier.isEmpty()
+        labels = new.select("id", "component")
         if on_round:
             on_round(it)
         if converged:
@@ -473,20 +493,40 @@ def label_propagation(
     deterministic version of LDD's first-arrival adoption
     (src/BCC/ldd.h:37-122). After k rounds label(v) = min id within v's
     k-hop closed neighborhood (the oracle-checkable invariant).
+
+    Frontier-based message passing (fused delta, same pattern as
+    ``pagerank``'s carried prev_rank): only vertices whose label CHANGED
+    last round send messages, so per-round message volume is
+    frontier-incident edges, not |E|. Per-round labels are identical to
+    the all-senders formulation by monotone-min induction — a vertex u
+    that did not change at round k-1 already delivered label(u) to every
+    neighbor the round it last changed, and labels only decrease, so the
+    neighbor folded it in. The previous label rides the state as ``old``
+    (min(old) per group is exact: each id has exactly one state row), so
+    frontier detection costs no extra join or shuffle.
     """
     labels = vertices.select("id", vertices.id.alias("label"))
+    frontier = labels  # round 0: every vertex is a sender
     chain = _StateChain(checkpoint_every)
+    label_t = dict(labels.dtypes)["label"]
     for it in range(rounds):
         msgs = (
-            sym.join(labels, sym.src == labels.id)
-            .select(sym.dst.alias("id"), "label")
+            sym.join(frontier, sym.src == frontier.id)
+            .select(
+                sym.dst.alias("id"),
+                "label",
+                F.lit(None).cast(label_t).alias("old"),
+            )
         )
-        labels = (
-            labels.unionByName(msgs)
+        st = labels.select("id", "label", F.col("label").alias("old"))
+        state = (
+            st.unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
         )
-        labels = chain.advance(labels, force=(it == rounds - 1))
+        state = chain.advance(state, force=(it == rounds - 1))
+        labels = state.select("id", "label")
+        frontier = state.filter(F.col("label") < F.col("old")).select("id", "label")
     return labels
 
 
@@ -681,25 +721,37 @@ def sssp(
     wtype = dict(wedges.dtypes)["w"]
     zero = 0.0 if wtype in ("double", "float") else 0
     dist = spark.createDataFrame([(source, zero)], f"id long, dist {wtype}")
-    prev_sig = None
+    # Frontier-based relaxation (the reference's frontier semantics,
+    # sssp.h:196-236, and this engine's fused-delta pattern): only
+    # vertices whose tentative distance changed last round relax their
+    # out-edges. A distance the frontier delivered once never needs
+    # re-delivery — dist+w candidates from an unchanged u are already
+    # folded into every neighbor's min. Empty frontier ⟺ fixpoint.
+    frontier = dist
+    converged = False
     for it in range(max_iterations):
         relaxed = (
-            wedges.join(dist, wedges.src == dist.id)
-            .select(wedges.dst.alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            wedges.join(frontier, wedges.src == frontier.id)
+            .select(
+                wedges.dst.alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
             .filter(F.col("dist") <= cap)
+            .withColumn("old", F.lit(None).cast(wtype))
         )
+        st = dist.select("id", "dist", F.col("dist").alias("old"))
         new = (
-            dist.unionByName(relaxed)
+            st.unionByName(relaxed)
             .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.min("old").alias("old"))
         )
         new = _truncate(new, it, checkpoint_every)
-        # Distances only decrease and rows are only added → the pair
-        # (count, sum) is a monotone potential; equality ⟺ fixpoint.
-        sig = tuple(new.agg(F.count(F.lit(1)), F.sum("dist")).first())
-        converged = it > 0 and sig == prev_sig
-        prev_sig = sig
-        dist = new
+        # newly reached (old is null) or improved (dist < old) → frontier
+        frontier = new.filter(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("id", "dist")
+        converged = frontier.isEmpty()
+        dist = new.select("id", "dist")
         if converged:
             break
     return dist
@@ -730,28 +782,44 @@ def sssp_delta_stepping(
     dist = spark.createDataFrame(
         [(source, zero)], f"id long, dist {wtype}"
     ).transform(pin)
+    # ``rat`` = the tentative distance at which a vertex LAST relaxed its
+    # out-edges (null = never relaxed). The active frontier is
+    # sub-threshold vertices whose dist improved since they last relaxed
+    # — without it, every settled vertex below the threshold re-relaxes
+    # every round (O(rounds × settled edges), a scale-killer once the
+    # settled prefix dominates). A delivered dist never needs
+    # re-delivery: dist+w candidates from an unchanged sender are already
+    # folded into every neighbor's min.
+    dist = dist.withColumn("rat", F.lit(None).cast(wtype))
     threshold = delta
-    prev_sig = (1, 0)  # signature of the initial single-row state
     for _ in range(max_iterations):
-        # relax only the active bucket (dist < threshold)
-        frontier = dist.filter(F.col("dist") < threshold)
+        in_frontier = (F.col("dist") < threshold) & (
+            F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
+        )
+        frontier = dist.filter(in_frontier).select("id", "dist")
+        if frontier.isEmpty():
+            if threshold > cap:
+                break
+            threshold += delta
+            continue
         relaxed = (
             wedges.join(frontier, wedges.src == frontier.id)
             .select(wedges.dst.alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
             .filter(F.col("dist") <= cap)
+            .withColumn("rat", F.lit(None).cast(wtype))
         )
-        new = (
-            dist.unionByName(relaxed).groupBy("id").agg(F.min("dist").alias("dist"))
+        st = dist.select(
+            "id", "dist",
+            F.when(in_frontier, F.col("dist")).otherwise(F.col("rat")).alias("rat"),
+        )
+        dist = (
+            st.unionByName(relaxed)
+            .groupBy("id")
+            # each id has exactly one state row, so min(rat) (nulls
+            # skipped) is exactly that row's marker
+            .agg(F.min("dist").alias("dist"), F.min("rat").alias("rat"))
         ).transform(pin)
-        sig = tuple(new.agg(F.count(F.lit(1)), F.sum("dist")).first())
-        bucket_done = sig == prev_sig
-        prev_sig = sig
-        dist = new
-        if bucket_done:
-            if threshold > cap:
-                break
-            threshold += delta
-    return dist
+    return dist.select("id", "dist")
 
 
 def sssp_rho_stepping(
@@ -786,7 +854,11 @@ def sssp_rho_stepping(
     # identical bucket schedule to the old ``int(top) + 1`` exclusive
     # form on integer weights
     settled_upto = None
-    prev_sig = (1, 0)  # signature of the initial single-row state
+    # ``rat`` marker, same as sssp_delta_stepping: relax only vertices
+    # whose dist improved since they last relaxed — the old
+    # frontier = (dist <= top) re-relaxed the ENTIRE settled prefix every
+    # inner round.
+    dist = dist.withColumn("rat", F.lit(None).cast(wtype))
     budget = max_iterations  # bounds total supersteps across all buckets
     while budget > 0:
         unsettled = (
@@ -799,27 +871,37 @@ def sssp_rho_stepping(
         # inner fixpoint on the active bucket (dist <= the ρ-th smallest)
         while budget > 0:
             budget -= 1
-            frontier = dist.filter(F.col("dist") <= top)
+            in_frontier = (F.col("dist") <= top) & (
+                F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
+            )
+            frontier = dist.filter(in_frontier).select("id", "dist")
+            if frontier.isEmpty():
+                break
             relaxed = (
                 wedges.join(frontier, wedges.src == frontier.id)
                 .select(
                     wedges.dst.alias("id"), (F.col("dist") + F.col("w")).alias("dist")
                 )
                 .filter(F.col("dist") <= cap)
+                .withColumn("rat", F.lit(None).cast(wtype))
             )
-            new = (
-                dist.unionByName(relaxed).groupBy("id").agg(F.min("dist").alias("dist"))
+            st = dist.select(
+                "id", "dist",
+                F.when(in_frontier, F.col("dist"))
+                .otherwise(F.col("rat"))
+                .alias("rat"),
+            )
+            dist = (
+                st.unionByName(relaxed)
+                .groupBy("id")
+                # one state row per id → min(rat) (nulls skipped) is
+                # exactly that row's marker
+                .agg(F.min("dist").alias("dist"), F.min("rat").alias("rat"))
             ).transform(pin)
-            sig = tuple(new.agg(F.count(F.lit(1)), F.sum("dist")).first())
-            bucket_done = sig == prev_sig
-            prev_sig = sig
-            dist = new
-            if bucket_done:
-                break
         settled_upto = top
         if settled_upto >= cap:
             break
-    return dist
+    return dist.select("id", "dist")
 
 
 # ---------------------------------------------------------------------------

@@ -61,3 +61,26 @@ def read_edges(
     if relayout:
         df = df.repartition(partitions, "src").sortWithinPartitions("src")
     return df
+
+
+def convert_text_to_binary(
+    spark: SparkSession,
+    text_path: str,
+    out_path: str,
+    *,
+    weighted: bool = False,
+    buckets: int = 32,
+) -> DataFrame:
+    """Text edge list → engine-layout parquet, one distributed job.
+
+    The reference ships ``pbbs2bin`` (/root/reference/src/utils/
+    pbbs2bin.cpp), a standalone converter from PBBS text adjacency to its
+    binary CSR: parse once on ingest, then every benchmark run reads the
+    fast layout. This is the same tool in engine terms — distributed text
+    parse (``read_edges_text``) into the bucketed/sorted parquet sink
+    (``write_edges``), so every later session re-loads exchange-free.
+    Returns the re-read DataFrame so callers can validate the round-trip.
+    """
+    write_edges(read_edges_text(spark, text_path, weighted=weighted),
+                out_path, buckets=buckets)
+    return read_edges(spark, out_path, partitions=buckets)

@@ -36,3 +36,20 @@ def test_parquet_layout_roundtrip(spark, tmp_path):
     back = edgelist.read_edges(spark, p, partitions=4)
     assert sorted(tuple(r) for r in back.collect()) == sorted(PAIRS)
     assert back.rdd.getNumPartitions() == 4
+
+
+def test_convert_text_to_binary(spark, tmp_path):
+    """pbbs2bin analog: text edge list -> engine parquet, one job.
+
+    Mirrors the reference's standalone converter
+    (src/utils/pbbs2bin.cpp): parse the slow interchange format once,
+    land the fast layout, and read back exchange-free.
+    """
+    edges = edges_df(spark, PAIRS)
+    tp = str(tmp_path / "txt")
+    bp = str(tmp_path / "bin")
+    edgelist.write_edges_text(edges, tp)
+    back = edgelist.convert_text_to_binary(spark, tp, bp, buckets=4)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(PAIRS)
+    # the landed layout honours the engine contract: bucketed partitions
+    assert back.rdd.getNumPartitions() == 4
