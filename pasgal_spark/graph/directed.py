@@ -108,23 +108,30 @@ def _min_label_to_fixpoint(
     """Propagate min label along directed edges until fixpoint.
 
     labels: (id, lbl) — every vertex present. Returns same shape.
-    The label-sum is a strictly decreasing potential (cheap convergence
-    test, same trick as kernels.connected_components).
+    Frontier-based (fused delta, same induction as
+    kernels.label_propagation): only vertices whose label changed last
+    round send; an empty frontier is a true fixpoint (monotone min).
     """
-    prev_sum = None
+    frontier = labels  # round 0: every vertex is a sender
     converged = False
     for it in range(max_iterations):
         msgs = (
-            edges.join(labels, edges.src == labels.id)
-            .select(edges.dst.alias("id"), "lbl")
+            edges.join(frontier, edges.src == frontier.id)
+            .select(
+                edges.dst.alias("id"),
+                "lbl",
+                F.lit(None).cast("long").alias("old"),
+            )
         )
+        st = labels.select("id", "lbl", F.col("lbl").alias("old"))
         new = (
-            labels.unionByName(msgs).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            st.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
         ).transform(pin)
-        s = new.agg(F.sum("lbl")).first()[0]
-        converged = it > 0 and s == prev_sum
-        prev_sum = s
-        labels = new
+        frontier = new.filter(F.col("lbl") < F.col("old")).select("id", "lbl")
+        labels = new.select("id", "lbl")
+        converged = frontier.isEmpty()
         if converged:
             break
     if not converged:

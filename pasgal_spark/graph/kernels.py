@@ -580,16 +580,27 @@ def ldd(
     state = vertices.select(
         "id", (start.cast("long") * big + F.col("id")).alias("key")
     )
+    # Frontier-based (fused delta, same induction as label_propagation):
+    # an unchanged u's message ``key(u) + 2^32`` is itself unchanged, so
+    # it was already delivered the round u last changed — only changed
+    # keys send. Per-round keys identical to the all-senders form.
+    frontier = state
     cap_key = (radius_cap + 1) * 2 ** 32
     for r in range(radius_cap):
         msgs = (
-            sym.join(state, sym.src == state.id)
+            sym.join(frontier, sym.src == frontier.id)
             .select(sym.dst.alias("id"), (F.col("key") + big).alias("key"))
             .filter(F.col("key") < F.lit(cap_key))
+            .withColumn("old", F.lit(None).cast("long"))
         )
-        state = (
-            state.unionByName(msgs).groupBy("id").agg(F.min("key").alias("key"))
+        st = state.select("id", "key", F.col("key").alias("old"))
+        full = (
+            st.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("key").alias("key"), F.min("old").alias("old"))
         ).transform(pin)
+        state = full.select("id", "key")
+        frontier = full.filter(F.col("key") < F.col("old")).select("id", "key")
     return state.select(
         "id",
         (F.col("key") % big).alias("label"),
