@@ -141,6 +141,33 @@ def test_sssp_float_weights_via_generator(spark):
     assert got == dijkstra_oracle(wpairs, 0, cap=10.0)
 
 
+def test_sssp_frontier_reentry_telescope(spark):
+    # Adversarial fixture for the frontier invariant: vertex i first
+    # receives 2*i via a direct shortcut edge (0,i) in superstep 1, then
+    # improves to i via the unit chain — one improvement per superstep
+    # cascading down the chain. A vertex that relaxed once MUST re-enter
+    # the frontier when its distance later improves (and, for Δ/ρ-stepping,
+    # a bucket advance must re-activate exactly the improved set via the
+    # `rat` last-relaxed-at tracking), or downstream distances freeze at
+    # the shortcut values. Covers the re-entry path the random TT fixture
+    # only hits by accident.
+    K = 12
+    wpairs = [(0, i, 2 * i) for i in range(2, K + 1)]
+    wpairs += [(i, i + 1, 1) for i in range(K)]
+    wedges = spark.createDataFrame(wpairs, "src long, dst long, w long")
+    exp = dijkstra_oracle(wpairs, 0, cap=100)
+    assert exp == {i: i for i in range(K + 1)}  # fixture sanity
+    for fn, kw in [
+        (kernels.sssp, {}),
+        (kernels.sssp_delta_stepping, {"delta": 1}),
+        (kernels.sssp_rho_stepping, {"rho": 1}),
+    ]:
+        got = dict(
+            fn(wedges, source=0, cap=100, **kw).select("id", "dist").collect()
+        )
+        assert got == exp, f"{fn.__name__} frontier re-entry mismatch"
+
+
 def test_pagerank_allclose_vs_power_iteration(spark):
     edges = edges_df(spark, TT_EDGES)
     verts = vertices_df(spark, range(TT_N))
