@@ -1,0 +1,240 @@
+"""Property-based differential tests (hypothesis) vs the sequential oracles.
+
+The fixture tests in test_kernels.py pin known graphs; these generate
+adversarial ones — duplicate edges, self-loops, isolated vertices,
+disconnected blobs, chains — and require exact agreement with the Python
+oracles in tests/oracles.py on every sample. This guards the invariant the
+round-5 frontier message-passing conversion relies on (per-round results
+identical to the dense formulation: a vertex that left the frontier must
+never need to re-send unless re-improved), across graph shapes no fixture
+enumerates.
+
+``derandomize=True`` keeps the example corpus fixed (CI-stable, no flaky
+random failures); shrinking still reports a minimal counterexample on
+failure. ``max_examples`` is small because every example runs real Spark
+jobs (~seconds each) — the value is in hypothesis's boundary-biased
+generation (empty edge sets, all-self-loop graphs, stars, parallel chains),
+not in volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pasgal_spark.graph import kernels
+from pasgal_spark.graph.directed import scc, spanning_forest
+
+from tests.conftest import edges_df, vertices_df
+from tests.oracles import (
+    bfs_oracle,
+    cc_oracle,
+    dijkstra_oracle,
+    lpa_oracle,
+    triangle_oracle,
+)
+
+N_MAX = 12
+
+PROP = settings(
+    max_examples=6,
+    deadline=None,  # Spark job latency is not a hypothesis timing bug
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@st.composite
+def graphs(draw):
+    """(n, base_pairs, sym_pairs): a random graph in canonical engine form.
+
+    ``base_pairs`` is the deduped, self-loop-free undirected edge set (the
+    shape the oracles take); ``sym_pairs`` is its symmetric closure (the
+    engine's input contract — builder.py's GRAPH_CTE produces exactly
+    this). Raw draws may contain duplicates and self-loops; canonicalizing
+    here means the property exercises kernel math, while input hygiene
+    stays covered by the builder tests.
+    """
+    n = draw(st.integers(min_value=2, max_value=N_MAX))
+    raw = draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=0,
+            max_size=3 * n,
+        )
+    )
+    base = sorted({(u, v) for u, v in raw if u != v})
+    sym = sorted({p for u, v in base for p in ((u, v), (v, u))})
+    return n, base, sym
+
+
+def _weighted(sym_pairs):
+    """Deterministic positive weights (same formula as test_kernels.py)."""
+    return [(u, v, (u * 31 + v * 17) % 8 + 1) for u, v in sym_pairs]
+
+
+@given(g=graphs())
+@PROP
+def test_prop_cc_hashmin_matches_oracle(spark, g):
+    n, base, sym = g
+    got = dict(
+        kernels.connected_components(
+            edges_df(spark, sym), vertices_df(spark, range(n))
+        ).collect()
+    )
+    assert got == cc_oracle(n, base)
+
+
+@given(g=graphs())
+@PROP
+def test_prop_cc_two_phase_matches_oracle(spark, g):
+    n, base, sym = g
+    got = dict(
+        kernels.connected_components_two_phase(
+            edges_df(spark, sym), vertices_df(spark, range(n))
+        ).collect()
+    )
+    assert got == cc_oracle(n, base)
+
+
+@given(g=graphs())
+@PROP
+def test_prop_bfs_matches_oracle(spark, g):
+    n, base, sym = g
+    got = dict(kernels.bfs(edges_df(spark, sym), source=0, max_depth=30).collect())
+    assert got == bfs_oracle(base, 0, 30)
+
+
+@given(g=graphs())
+@PROP
+def test_prop_sssp_family_matches_dijkstra(spark, g):
+    n, base, sym = g
+    wpairs = _weighted(sym)
+    wedges = spark.createDataFrame(
+        wpairs, "src long, dst long, w long"
+    ) if wpairs else spark.createDataFrame([], "src long, dst long, w long")
+    exp = dijkstra_oracle(wpairs, 0, cap=40)
+    for name, fn in (
+        ("bellman_ford", lambda: kernels.sssp(wedges, source=0, cap=40)),
+        (
+            "delta_stepping",
+            lambda: kernels.sssp_delta_stepping(wedges, source=0, delta=2, cap=40),
+        ),
+        (
+            "rho_stepping",
+            lambda: kernels.sssp_rho_stepping(wedges, source=0, rho=2, cap=40),
+        ),
+    ):
+        got = dict(fn().select("id", "dist").collect())
+        assert got == exp, name
+
+
+@given(g=graphs(), rounds=st.integers(min_value=1, max_value=3))
+@PROP
+def test_prop_lpa_matches_sync_min_label(spark, g, rounds):
+    n, base, sym = g
+    got = dict(
+        kernels.label_propagation(
+            edges_df(spark, sym), vertices_df(spark, range(n)), rounds=rounds
+        ).collect()
+    )
+    assert got == lpa_oracle(n, base, rounds)
+
+
+@given(g=graphs())
+@PROP
+def test_prop_triangle_count_matches_oracle(spark, g):
+    n, base, sym = g
+    got = kernels.triangle_count(edges_df(spark, sym)).first()["triangles"]
+    assert got == triangle_oracle(base)
+
+
+@given(g=graphs())
+@PROP
+def test_prop_scc_partition_matches_kosaraju(spark, g):
+    n, base, sym = g
+    # directed input: the base pairs as-is (no symmetric closure)
+    got_rows = scc(
+        edges_df(spark, base), vertices_df(spark, range(n))
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["scc"], set()).add(r["id"])
+    exp = {}
+    for v, lbl in _kosaraju(n, base).items():
+        exp.setdefault(lbl, set()).add(v)
+    # compare the partition (set of components), label-scheme-agnostic
+    assert sorted(map(sorted, got.values())) == sorted(map(sorted, exp.values()))
+
+
+@given(g=graphs())
+@PROP
+def test_prop_spanning_forest_is_valid(spark, g):
+    n, base, sym = g
+    sym_df = edges_df(spark, sym)
+    verts = vertices_df(spark, range(n))
+    cc = kernels.connected_components_two_phase(sym_df, verts)
+    rows = spanning_forest(sym_df, verts, cc).collect()
+    comp = cc_oracle(n, base)
+    edge_set = set(sym)
+    parent = {}
+    for r in rows:
+        c, p = r["child"], r["parent"]
+        assert c not in parent, f"vertex {c} has two parents"
+        parent[c] = p
+        if c != p:
+            assert (c, p) in edge_set, f"forest edge ({c},{p}) not in graph"
+            assert comp[c] == comp[p]
+    # every non-root reaches its component root; tree count per component
+    # is exactly size-1 edges (acyclic + spanning)
+    sizes = {}
+    for v, lbl in comp.items():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    non_self = sum(1 for c, p in parent.items() if c != p)
+    assert non_self == n - len(sizes)
+    for c in parent:
+        seen = set()
+        while c != parent.get(c, c):
+            assert c not in seen, "cycle in forest"
+            seen.add(c)
+            c = parent[c]
+
+
+def _kosaraju(n, pairs):
+    """Iterative Kosaraju SCC → vertex -> min id in its SCC."""
+    fwd = {u: [] for u in range(n)}
+    rev = {u: [] for u in range(n)}
+    for u, v in pairs:
+        fwd[u].append(v)
+        rev[v].append(u)
+    order, seen = [], set()
+    for s in range(n):
+        if s in seen:
+            continue
+        stack = [(s, iter(fwd[s]))]
+        seen.add(s)
+        while stack:
+            u, it = stack[-1]
+            nxt = next((v for v in it if v not in seen), None)
+            if nxt is None:
+                order.append(u)
+                stack.pop()
+            else:
+                seen.add(nxt)
+                stack.append((nxt, iter(fwd[nxt])))
+    label, assigned = {}, set()
+    for s in reversed(order):
+        if s in assigned:
+            continue
+        comp, stack = [s], [s]
+        assigned.add(s)
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in rev[u]:
+                if v not in assigned:
+                    assigned.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    return label
