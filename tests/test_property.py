@@ -21,11 +21,13 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-from pasgal_spark.graph import kernels
-from pasgal_spark.graph.directed import scc, spanning_forest
+from pasgal_spark.graph import bcc, kernels
+from pasgal_spark.graph.directed import reachability, scc, spanning_forest
 
 from tests.conftest import edges_df, vertices_df
 from tests.oracles import (
+    articulation_oracle,
+    bcc_oracle,
     bfs_oracle,
     cc_oracle,
     dijkstra_oracle,
@@ -197,6 +199,62 @@ def test_prop_spanning_forest_is_valid(spark, g):
             assert c not in seen, "cycle in forest"
             seen.add(c)
             c = parent[c]
+
+
+@given(g=graphs())
+@settings(
+    max_examples=4, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_prop_bcc_both_strategies_match_hopcroft_tarjan(spark, g):
+    n, base, sym = g
+    want = bcc_oracle(n, base)
+    sym_df = edges_df(spark, sym)
+    verts = vertices_df(spark, range(n))
+    for strategy in ("level", "euler"):
+        rows = bcc.bcc_edges(sym_df, verts, strategy=strategy).collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r["bcc"], set()).add((r["src"], r["dst"]))
+        got = set(frozenset(grp) for grp in groups.values())
+        assert got == want, strategy
+
+
+@given(g=graphs())
+@settings(
+    max_examples=4, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_prop_articulation_points_match_oracle(spark, g):
+    n, base, sym = g
+    got = {
+        r["id"]
+        for r in bcc.articulation_points(
+            edges_df(spark, sym), vertices_df(spark, range(n))
+        ).collect()
+    }
+    assert got == articulation_oracle(n, base)
+
+
+@given(g=graphs())
+@PROP
+def test_prop_reachability_matches_bfs_closure(spark, g):
+    n, base, sym = g
+    # directed closure from 0 over the raw base pairs
+    fwd = {}
+    for u, v in base:
+        fwd.setdefault(u, []).append(v)
+    want, stack = {0}, [0]
+    while stack:
+        u = stack.pop()
+        for v in fwd.get(u, ()):  # noqa: B905
+            if v not in want:
+                want.add(v)
+                stack.append(v)
+    got = {
+        r["id"] for r in reachability(edges_df(spark, base), 0).collect()
+    }
+    assert got == want
 
 
 def _kosaraju(n, pairs):
