@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+from pasgal_spark.functions import dedup
 from pasgal_spark.graph import bcc, kernels
 from pasgal_spark.graph.directed import reachability, scc, spanning_forest
 
@@ -255,6 +256,74 @@ def test_prop_reachability_matches_bfs_closure(spark, g):
         r["id"] for r in reachability(edges_df(spark, base), 0).collect()
     }
     assert got == want
+
+
+_VOCAB = (
+    "the web page crawl link graph spark shuffle join partition "
+    "dedup shingle token hash band bucket vertex edge rank label"
+).split()
+
+
+@st.composite
+def corpora(draw):
+    """Small documents corpus with planted exact duplicates."""
+    n_docs = draw(st.integers(min_value=2, max_value=6))
+    docs = [
+        " ".join(
+            draw(st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=10))
+        )
+        for _ in range(n_docs)
+    ]
+    n_dups = draw(st.integers(min_value=1, max_value=3))
+    docs += [docs[0]] * n_dups  # planted byte-identical duplicates
+    return [(i, t, "en") for i, t in enumerate(docs)]
+
+
+def _shingle_set(text, k=3):
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@given(c=corpora())
+@settings(
+    max_examples=4, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_prop_lsh_exact_dup_recall_and_jaccard(spark, c):
+    """Two LSH-pipeline invariants on generated corpora:
+
+    1. RECALL FLOOR (deterministic, not probabilistic): byte-identical
+       documents have identical MinHash signatures, so they collide in
+       every band — the pipeline must report every identical pair with
+       jaccard 1.0 (their shingle sets are non-empty: >= 3 tokens).
+    2. VERIFY EXACTNESS: every reported pair's jaccard equals the
+       Python shingle-set mirror within the 4-decimal rounding.
+    """
+    docs = spark.createDataFrame(c, "doc_id long, text string, lang string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.near_dup_pipeline(docs, threshold=0.7).collect()
+    }
+    text_of = {i: t for i, t, _ in c}
+    identical = {
+        (a, b)
+        for a in text_of
+        for b in text_of
+        if a < b and text_of[a] == text_of[b]
+    }
+    for pair in identical:
+        assert pair in got, f"identical pair {pair} missed by LSH"
+        assert got[pair] == 1.0
+    for (a, b), j in got.items():
+        sa, sb = _shingle_set(text_of[a]), _shingle_set(text_of[b])
+        u = len(sa | sb)
+        exp = len(sa & sb) / u if u else None
+        assert exp is not None and abs(j - exp) <= 1e-4, (a, b, j, exp)
+        assert j >= 0.7
 
 
 def _kosaraju(n, pairs):
