@@ -33,6 +33,7 @@ from tests.oracles import (
     cc_oracle,
     dijkstra_oracle,
     lpa_oracle,
+    pagerank_oracle,
     triangle_oracle,
 )
 
@@ -256,6 +257,27 @@ def test_prop_reachability_matches_bfs_closure(spark, g):
         r["id"] for r in reachability(edges_df(spark, base), 0).collect()
     }
     assert got == want
+
+
+@given(g=graphs())
+@PROP
+def test_prop_pagerank_allclose_vs_power_iteration(spark, g):
+    """Directed random graphs vs the power-iteration oracle at the north
+    rule's own criterion (allclose 1e-6 per vertex). Random shapes cover
+    both dangling-mass branches: graphs with no dangling vertices compile
+    the branch out; graphs with them redistribute mass uniformly."""
+    import math
+
+    n, base, sym = g
+    edges = edges_df(spark, base)  # directed, as drawn
+    got = dict(
+        kernels.pagerank(
+            edges, vertices_df(spark, range(n)), iterations=15
+        ).collect()
+    )
+    exp = pagerank_oracle(n, base, iters=15)
+    assert all(math.isclose(got[u], exp[u], abs_tol=1e-6) for u in range(n))
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
 
 
 _VOCAB = (
