@@ -7,7 +7,12 @@ loop into a circular-import crash.
 
 
 def __getattr__(name):
-    if name in ("CheckpointedPageRank", "RunManifest"):
+    if name in (
+        "CheckpointedPageRank",
+        "CheckpointedConnectedComponents",
+        "CheckpointedLabelPropagation",
+        "RunManifest",
+    ):
         from pasgal_spark.plans import checkpoints
 
         return getattr(checkpoints, name)

@@ -130,3 +130,75 @@ def test_checkpointed_cc_resume_identical(spark, tmp_path):
         .sort_values("superstep")["delta"].tolist()
     )
     assert deltas == sorted(deltas, reverse=True)
+
+
+def test_checkpointed_lpa_resume_identical(spark, tmp_path):
+    """Frontier LPA through the resumable driver: a run interrupted after
+    one round, resumed by a fresh object over the same workdir, must
+    produce the identical labels as an uninterrupted run (and both match
+    plain kernels.label_propagation at the same round count)."""
+    from pasgal_spark.graph.kernels import label_propagation
+    from pasgal_spark.plans.checkpoints import CheckpointedLabelPropagation
+    from tests.oracles import lpa_oracle
+
+    # long path (needs many rounds) + separate triangle + isolated vertex
+    pairs = [(i, i + 1) for i in range(7)] + [(8, 9), (9, 10), (8, 10)]
+    n = 12
+    sym_pairs = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    sym = edges_df(spark, sym_pairs)
+    verts = vertices_df(spark, range(n))
+    rounds = 4
+
+    want = {
+        r["id"]: r["label"]
+        for r in label_propagation(sym, verts, rounds=rounds).collect()
+    }
+    assert want == lpa_oracle(n, pairs, rounds)
+
+    full_dir = str(tmp_path / "lpafull")
+    full = CheckpointedLabelPropagation(
+        spark, sym, verts, full_dir, rounds=rounds
+    ).run()
+    assert {r["id"]: r["label"] for r in full.collect()} == want
+
+    # interrupted: run only 1 of 4 rounds, then resume fresh
+    part_dir = str(tmp_path / "lpapart")
+    CheckpointedLabelPropagation(spark, sym, verts, part_dir, rounds=1).run()
+    m = RunManifest.load(part_dir)
+    assert m is not None and m.superstep == 1
+
+    resumed = CheckpointedLabelPropagation(
+        spark, sym, verts, part_dir, rounds=rounds
+    ).run()
+    assert {r["id"]: r["label"] for r in resumed.collect()} == want
+
+    # metrics: per-round frontier size recorded; the path keeps shrinking
+    cp = CheckpointedLabelPropagation(spark, sym, verts, part_dir)
+    deltas = (
+        cp.metrics().select("superstep", "delta").distinct().toPandas()
+        .sort_values("superstep")["delta"].tolist()
+    )
+    assert len(deltas) == rounds
+    assert deltas == sorted(deltas, reverse=True)  # monotone on this fixture
+
+
+def test_checkpointed_lpa_fixpoint_early_stop(spark, tmp_path):
+    """An empty frontier ends the run early; labels equal the fixed-round
+    kernel's (fixpoint: further rounds are no-ops)."""
+    from pasgal_spark.graph.kernels import label_propagation
+    from pasgal_spark.plans.checkpoints import CheckpointedLabelPropagation
+
+    pairs = [(0, 1), (1, 2)]  # converges in 2 rounds
+    sym_pairs = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    sym = edges_df(spark, sym_pairs)
+    verts = vertices_df(spark, range(3))
+
+    got = CheckpointedLabelPropagation(
+        spark, sym, verts, str(tmp_path / "lpafix"), rounds=10
+    ).run()
+    want = label_propagation(sym, verts, rounds=10)
+    assert {r["id"]: r["label"] for r in got.collect()} == {
+        r["id"]: r["label"] for r in want.collect()
+    }
+    m = RunManifest.load(str(tmp_path / "lpafix"))
+    assert m is not None and m.superstep < 10  # stopped at the fixpoint
