@@ -204,6 +204,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return img[::-1].copy() if flip else img.copy()
 
 
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Sniff the container (BMP magic vs PNG) and decode — the single
+    dispatch point for every image-consuming kernel, so adding a format
+    means touching one function, not every mapInPandas call site."""
+    return decode_bmp(data) if data[:2] == b"BM" else decode_png(data)
+
+
 # ---------------------------------------------------------------------------
 # WAV (PCM16)
 # ---------------------------------------------------------------------------

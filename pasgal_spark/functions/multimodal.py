@@ -172,17 +172,16 @@ def decode_image(media: DataFrame, *, gray_dim: int = 8) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(p)
-                img = (
-                    codecs.decode_bmp(data)
-                    if data[:2] == b"BM"
-                    else codecs.decode_png(data)
-                )
+                img = codecs.decode_image_bytes(data)
                 if img.ndim == 2:
                     img = np.stack([img] * 3, axis=2)
                 thumb = codecs.rgb_to_gray(
                     codecs.resize_nearest(img, gray_dim, gray_dim)
                 )
-                means = img[:, :, :3].reshape(-1, img.shape[2])[:, :3].mean(axis=0)
+                # slice to RGB FIRST, then flatten to (-1, 3): an RGBA
+                # decode has shape[2] == 4, and reshape(-1, 4) on the
+                # 3-channel slice either crashes or scrambles channels
+                means = img[:, :, :3].reshape(-1, 3).mean(axis=0)
                 rows.append(
                     (
                         int(mid), img.shape[1], img.shape[0],
@@ -266,11 +265,7 @@ def resize_images(media: DataFrame, *, width: int, height: int) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(p)
-                img = (
-                    codecs.decode_bmp(data)
-                    if data[:2] == b"BM"
-                    else codecs.decode_png(data)
-                )
+                img = codecs.decode_image_bytes(data)
                 rows.append(
                     (int(mid), codecs.encode_png(
                         codecs.resize_nearest(img, width, height)

@@ -28,8 +28,13 @@ MAX_BUCKET = 5_000
 BLOCK_BYTES = 64 * 1024 * 1024
 
 
-def _validate_batch(e_col, dim: int):
+def _validate_batch(e_col, dim: int | None = None):
     """Assert an Arrow batch's embedding column is non-null and dim-wide.
+
+    ``dim=None`` derives the width from the first row AFTER the null
+    check — deriving it before (``len(e_col.iloc[0])``) crashes with the
+    exact opaque TypeError this guard exists to prevent when a null lands
+    first in the batch.
 
     A ragged or null row would crash ``np.stack`` mid-job with an opaque
     error (the pre-r4 Catalyst expression degraded to null buckets
@@ -45,6 +50,8 @@ def _validate_batch(e_col, dim: int):
             f"similarity kernel: {nulls} null embedding(s) in batch; "
             "filter nulls before bucketing/ANN"
         )
+    if dim is None:
+        dim = int(len(e_col.iloc[0]))
     lens = e_col.map(len).to_numpy()
     bad = int((lens != dim).sum())
     if bad:
@@ -100,8 +107,8 @@ def cosine_topk(
         for pdf in it:
             if not len(pdf):
                 continue
-            dim = int(len(pdf["e"].iloc[0]))
-            x = _validate_batch(pdf["e"], dim)
+            x = _validate_batch(pdf["e"])
+            dim = x.shape[1]
             qx = _validate_batch(pdf["qe"], dim)
             dot = np.zeros(len(pdf))
             ee = np.zeros(len(pdf))
@@ -241,7 +248,7 @@ def bucketed_ann(
                 {"query_id": [], "neighbor_id": [], "s": []}
             ).astype({"query_id": "int64", "neighbor_id": "int64", "s": "float64"})
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        x = _validate_batch(pdf["e"], int(len(pdf["e"].iloc[0])))
+        x = _validate_batch(pdf["e"])
         dim = x.shape[1]
         # norm[i] = sqrt(sum_j x[i,j]^2), accumulated in ascending j —
         # bit-identical to the Gram diagonal under the same fold.

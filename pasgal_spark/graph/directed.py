@@ -129,7 +129,9 @@ def _min_label_to_fixpoint(
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
         ).transform(pin)
-        frontier = new.filter(F.col("lbl") < F.col("old")).select("id", "lbl")
+        frontier = new.filter(
+            F.col("old").isNull() | (F.col("lbl") < F.col("old"))
+        ).select("id", "lbl")
         labels = new.select("id", "lbl")
         converged = frontier.isEmpty()
         if converged:

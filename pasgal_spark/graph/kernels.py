@@ -294,9 +294,13 @@ def connected_components(
         # One cheap count on the cached state materializes the generation
         # AND decides convergence: empty frontier ⟺ no label changed ⟺
         # fixpoint (labels are monotone non-increasing).
-        frontier = new.filter(F.col("component") < F.col("old")).select(
-            "id", "component"
-        )
+        # ``old IS NULL`` = the vertex entered the state via messages only
+        # (an edge endpoint absent from ``vertices``): it has never sent,
+        # so it must be a sender next round — dropping it would freeze the
+        # frontier into a false fixpoint (same rule as sssp's frontier)
+        frontier = new.filter(
+            F.col("old").isNull() | (F.col("component") < F.col("old"))
+        ).select("id", "component")
         converged = frontier.isEmpty()
         labels = new.select("id", "component")
         if on_round:
@@ -526,7 +530,11 @@ def label_propagation(
         )
         state = chain.advance(state, force=(it == rounds - 1))
         labels = state.select("id", "label")
-        frontier = state.filter(F.col("label") < F.col("old")).select("id", "label")
+        # old IS NULL: message-only vertex (endpoint absent from
+        # ``vertices``) — never sent yet, keep it in the frontier
+        frontier = state.filter(
+            F.col("old").isNull() | (F.col("label") < F.col("old"))
+        ).select("id", "label")
     return labels
 
 
@@ -600,7 +608,9 @@ def ldd(
             .agg(F.min("key").alias("key"), F.min("old").alias("old"))
         ).transform(pin)
         state = full.select("id", "key")
-        frontier = full.filter(F.col("key") < F.col("old")).select("id", "key")
+        frontier = full.filter(
+            F.col("old").isNull() | (F.col("key") < F.col("old"))
+        ).select("id", "key")
     return state.select(
         "id",
         (F.col("key") % big).alias("label"),
@@ -765,6 +775,14 @@ def sssp(
         dist = new.select("id", "dist")
         if converged:
             break
+    if not converged:
+        # Raise-don't-truncate (the CC/min-label policy): frozen tentative
+        # distances are silently wrong answers, not approximations.
+        raise RuntimeError(
+            f"sssp: distances still improving after {max_iterations} "
+            "supersteps; raise max_iterations (long-diameter or "
+            "small-weight graph)"
+        )
     return dist
 
 
@@ -803,15 +821,29 @@ def sssp_delta_stepping(
     # folded into every neighbor's min.
     dist = dist.withColumn("rat", F.lit(None).cast(wtype))
     threshold = delta
+    converged = False
     for _ in range(max_iterations):
         in_frontier = (F.col("dist") < threshold) & (
             F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
         )
         frontier = dist.filter(in_frontier).select("id", "dist")
         if frontier.isEmpty():
-            if threshold > cap:
+            # Jump the threshold to the next NON-EMPTY bucket in one
+            # aggregate job instead of burning an iteration per empty
+            # delta-bucket (delta=1/cap=1000 would eat 1000 iterations
+            # in no-op advances). The schedule changes, the result
+            # cannot: bucket order only affects which rounds relax what.
+            m = (
+                dist.filter(
+                    F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
+                )
+                .agg(F.min("dist"))
+                .first()[0]
+            )
+            if m is None:
+                converged = True
                 break
-            threshold += delta
+            threshold = (int(m // delta) + 1) * delta
             continue
         relaxed = (
             wedges.join(frontier, wedges.src == frontier.id)
@@ -830,6 +862,17 @@ def sssp_delta_stepping(
             # skipped) is exactly that row's marker
             .agg(F.min("dist").alias("dist"), F.min("rat").alias("rat"))
         ).transform(pin)
+    if not converged:
+        # probe-before-raise (ADVICE r3 boundary rule): the budget may
+        # have run out exactly at the fixpoint
+        converged = dist.filter(
+            F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
+        ).isEmpty()
+    if not converged:
+        raise RuntimeError(
+            f"sssp_delta_stepping: unsettled vertices remain after "
+            f"{max_iterations} rounds; raise max_iterations"
+        )
     return dist.select("id", "dist")
 
 
@@ -871,6 +914,7 @@ def sssp_rho_stepping(
     # inner round.
     dist = dist.withColumn("rat", F.lit(None).cast(wtype))
     budget = max_iterations  # bounds total supersteps across all buckets
+    converged = False
     while budget > 0:
         unsettled = (
             dist if settled_upto is None
@@ -878,6 +922,7 @@ def sssp_rho_stepping(
         )
         top = unsettled.orderBy("dist").limit(rho).agg(F.max("dist")).first()[0]
         if top is None:
+            converged = True
             break
         # inner fixpoint on the active bucket (dist <= the ρ-th smallest)
         while budget > 0:
@@ -911,7 +956,22 @@ def sssp_rho_stepping(
             ).transform(pin)
         settled_upto = top
         if settled_upto >= cap:
+            converged = True
             break
+    if not converged:
+        # probe-before-raise (ADVICE r3 boundary rule): the budget may
+        # have run out exactly at the fixpoint — one cheap emptiness
+        # probe distinguishes that from genuine truncation
+        rem = (
+            dist if settled_upto is None
+            else dist.filter(F.col("dist") > settled_upto)
+        )
+        converged = rem.isEmpty()
+    if not converged:
+        raise RuntimeError(
+            f"sssp_rho_stepping: unsettled vertices remain after "
+            f"{max_iterations} supersteps; raise max_iterations"
+        )
     return dist.select("id", "dist")
 
 

@@ -60,6 +60,27 @@ class RunManifest:
         os.replace(tmp, os.path.join(path, "MANIFEST.json"))
 
 
+
+def _append_lineage_metrics(
+    workdir: str, run_id: str, superstep: int, state: "DataFrame",
+    delta: float, wall_ms: float,
+) -> None:
+    """One metrics row per (superstep, partition): row counts (lineage)
+    plus the run's convergence delta and wall time — the single shared
+    sink for every checkpointed driver (north_rule: per-partition lineage
+    + per-superstep convergence metrics)."""
+    lineage = (
+        state.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("superstep", F.lit(superstep))
+        .withColumn("delta", F.lit(float(delta)))
+        .withColumn("wall_ms", F.lit(wall_ms))
+        .select("run_id", "superstep", "partition_id", "rows", "delta", "wall_ms")
+    )
+    lineage.write.mode("append").parquet(os.path.join(workdir, "metrics"))
+
+
 class CheckpointedPageRank:
     """PageRank with parquet checkpoints, resume, and metrics records."""
 
@@ -94,16 +115,9 @@ class CheckpointedPageRank:
     # -- metrics ------------------------------------------------------------
 
     def _record_metrics(self, superstep: int, state: DataFrame, delta: float, wall_ms: float) -> None:
-        lineage = (
-            state.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .withColumn("run_id", F.lit(self.run_id))
-            .withColumn("superstep", F.lit(superstep))
-            .withColumn("delta", F.lit(delta))
-            .withColumn("wall_ms", F.lit(wall_ms))
-            .select("run_id", "superstep", "partition_id", "rows", "delta", "wall_ms")
+        _append_lineage_metrics(
+            self.workdir, self.run_id, superstep, state, delta, wall_ms
         )
-        lineage.write.mode("append").parquet(os.path.join(self.workdir, "metrics"))
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))
@@ -235,16 +249,9 @@ class CheckpointedConnectedComponents:
     def _record_metrics(
         self, superstep: int, labels: DataFrame, potential: float, wall_ms: float
     ) -> None:
-        lineage = (
-            labels.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .withColumn("run_id", F.lit(self.run_id))
-            .withColumn("superstep", F.lit(superstep))
-            .withColumn("delta", F.lit(float(potential)))
-            .withColumn("wall_ms", F.lit(wall_ms))
-            .select("run_id", "superstep", "partition_id", "rows", "delta", "wall_ms")
+        _append_lineage_metrics(
+            self.workdir, self.run_id, superstep, labels, potential, wall_ms
         )
-        lineage.write.mode("append").parquet(os.path.join(self.workdir, "metrics"))
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))
@@ -341,16 +348,9 @@ class CheckpointedLabelPropagation:
     def _record_metrics(
         self, superstep: int, state: DataFrame, delta: float, wall_ms: float
     ) -> None:
-        lineage = (
-            state.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .withColumn("run_id", F.lit(self.run_id))
-            .withColumn("superstep", F.lit(superstep))
-            .withColumn("delta", F.lit(float(delta)))
-            .withColumn("wall_ms", F.lit(wall_ms))
-            .select("run_id", "superstep", "partition_id", "rows", "delta", "wall_ms")
+        _append_lineage_metrics(
+            self.workdir, self.run_id, superstep, state, delta, wall_ms
         )
-        lineage.write.mode("append").parquet(os.path.join(self.workdir, "metrics"))
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.workdir, "metrics"))
@@ -375,12 +375,6 @@ class CheckpointedLabelPropagation:
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
         )
 
-    def _checkpoint(self, state: DataFrame, superstep: int, delta: float) -> DataFrame:
-        path = os.path.join(self.workdir, f"state_{superstep:05d}")
-        state.write.mode("overwrite").parquet(path)
-        RunManifest(self.run_id, superstep, path, float(delta)).save(self.workdir)
-        return self.spark.read.parquet(path)
-
     def run(self) -> DataFrame:
         """Run (or resume) the LPA rounds; returns (id, label)."""
         manifest = RunManifest.load(self.workdir)
@@ -388,9 +382,9 @@ class CheckpointedLabelPropagation:
             state = self.spark.read.parquet(manifest.state_path)
             it = manifest.superstep
             labels = state.select("id", "label")
-            frontier = state.filter(F.col("label") < F.col("old")).select(
-                "id", "label"
-            )
+            frontier = state.filter(
+                F.col("old").isNull() | (F.col("label") < F.col("old"))
+            ).select("id", "label")
         else:
             labels = self.vertices.select("id", self.vertices.id.alias("label"))
             frontier = labels  # round 0: every vertex is a sender
@@ -399,21 +393,22 @@ class CheckpointedLabelPropagation:
             t0 = time.time()
             state = self._superstep(labels, frontier).transform(pin)
             it += 1
-            # checkpoint-then-metrics ordering (ADVICE r3): a crash between
-            # the two re-executes the round on resume without leaving a
-            # metric row for a state that never committed
-            state = self._checkpoint(state, it, 0.0)
-            frontier = state.filter(F.col("label") < F.col("old")).select(
-                "id", "label"
-            )
+            # state parquet first, manifest second, metrics last (ADVICE
+            # r3 ordering): a crash between state and manifest replays the
+            # round on resume (pure function, identical result); a crash
+            # before metrics cannot leave a metric row for an uncommitted
+            # state. The frontier count reads the just-written parquet and
+            # stamps the manifest's delta in its ONE write per round.
+            path = os.path.join(self.workdir, f"state_{it:05d}")
+            state.write.mode("overwrite").parquet(path)
+            state = self.spark.read.parquet(path)
+            frontier = state.filter(
+                F.col("old").isNull() | (F.col("label") < F.col("old"))
+            ).select("id", "label")
             n_frontier = frontier.count()
-            # manifest delta re-stamped with the real frontier size (the
-            # count reads the just-written parquet, not the live plan)
-            RunManifest(
-                self.run_id, it,
-                os.path.join(self.workdir, f"state_{it:05d}"),
-                float(n_frontier),
-            ).save(self.workdir)
+            RunManifest(self.run_id, it, path, float(n_frontier)).save(
+                self.workdir
+            )
             self._record_metrics(it, state, n_frontier, (time.time() - t0) * 1000)
             labels = state.select("id", "label")
             if n_frontier == 0:

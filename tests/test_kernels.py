@@ -386,3 +386,67 @@ def test_cc_succeeds_at_exact_budget_boundary(spark):
         ).collect()
     )
     assert got == cc_oracle(PATH_N, PATH_EDGES)
+
+
+def test_sssp_family_raises_on_budget_exhaustion_exact_at_boundary(spark):
+    """Raise-don't-truncate for the SSSP family (the CC/min-label policy,
+    VERDICT r4 #1): an exhausted iteration budget must raise, never return
+    frozen tentative distances; the exact minimal budget still succeeds
+    (probe-before-raise boundary rule, ADVICE r3)."""
+    import pytest
+
+    wpairs = [(i, i + 1, 1) for i in range(10)]  # chain, dist(10) = 10
+    wedges = spark.createDataFrame(wpairs, "src long, dst long, w long")
+    exp = dijkstra_oracle(wpairs, 0, cap=40)
+
+    # (kernel, minimal budget measured on this fixture)
+    cases = [
+        (lambda mi: kernels.sssp(wedges, 0, cap=40, max_iterations=mi), 11),
+        (
+            lambda mi: kernels.sssp_delta_stepping(
+                wedges, 0, delta=2, cap=40, max_iterations=mi
+            ),
+            16,
+        ),
+        (
+            lambda mi: kernels.sssp_rho_stepping(
+                wedges, 0, rho=2, cap=40, max_iterations=mi
+            ),
+            21,
+        ),
+    ]
+    for fn, minimal in cases:
+        with pytest.raises(RuntimeError, match="max_iterations"):
+            fn(minimal - 2).collect()
+        got = dict(fn(minimal).select("id", "dist").collect())
+        assert got == exp
+
+
+def test_delta_stepping_skips_empty_buckets_in_one_probe(spark):
+    """Sparse far-apart weights: delta=1 with max dist 1000 would burn an
+    iteration per empty bucket pre-fix (1000 no-op advances vs a 200
+    budget); the threshold must jump straight to the next non-empty
+    bucket, converging well inside the default budget."""
+    wpairs = [(0, 1, 500), (1, 2, 500)]
+    wedges = spark.createDataFrame(wpairs, "src long, dst long, w long")
+    got = dict(
+        kernels.sssp_delta_stepping(wedges, 0, delta=1, cap=1000)
+        .select("id", "dist")
+        .collect()
+    )
+    assert got == {0: 0, 1: 500, 2: 1000}
+
+
+def test_frontier_handles_message_only_vertices(spark):
+    """A vertex that enters the state via messages only (edge endpoint
+    absent from the vertices table) has old=NULL on arrival; it has never
+    sent, so it must stay in the frontier — dropping it froze hash-min CC
+    and LPA into a false fixpoint (labels split across a live path)."""
+    sym = edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+    verts = vertices_df(spark, [0, 2])  # vertex 1 missing
+    assert dict(kernels.connected_components(sym, verts).collect()) == {
+        0: 0, 1: 0, 2: 0,
+    }
+    assert dict(
+        kernels.label_propagation(sym, verts, rounds=3).collect()
+    ) == {0: 0, 1: 0, 2: 0}

@@ -138,3 +138,20 @@ def test_media_stats_prunes_payload(spark):
     stats = {r["kind"]: r for r in mm.media_stats(media).collect()}
     assert stats["image"]["total_bytes"] == stats["image"]["n"] * 64
     assert stats["audio"]["avg_width"] is None
+
+
+def test_decode_image_rgba_channel_means(spark):
+    """RGBA (PNG color type 6) is in the codec's documented scope; the
+    channel means must come from the RGB slice flattened to (-1, 3) —
+    a reshape by shape[2]==4 either crashes or scrambles channels."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(codecs.encode_png(img)))],
+        "media_id long, kind string, payload binary",
+    )
+    row = mm.decode_image(media).collect()[0]
+    assert (row["height"], row["width"]) == (5, 3)
+    assert row["mean_r"] == pytest.approx(img[:, :, 0].mean())
+    assert row["mean_g"] == pytest.approx(img[:, :, 1].mean())
+    assert row["mean_b"] == pytest.approx(img[:, :, 2].mean())
