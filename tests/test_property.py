@@ -387,3 +387,53 @@ def _kosaraju(n, pairs):
         for u in comp:
             label[u] = m
     return label
+
+
+@given(g=graphs())
+@PROP
+def test_prop_ldd_matches_synchronous_oracle(spark, g):
+    """LDD on random graphs vs a Python mirror of its own spec: v adopts
+    min over (start(u) + dist(u,v), u) within radius_cap hops, packed as
+    cost*2^32 + id with capped messages — synchronous all-senders rounds
+    (provably identical to the kernel's frontier form)."""
+    from pyspark.sql import functions as F
+
+    from pasgal_spark.functions.textstats import portable_hash
+    from pasgal_spark.graph.kernels import ldd
+
+    n, base, sym = g
+    beta_cap, radius_cap = 4, 8
+    verts = vertices_df(spark, range(n))
+    hv = {
+        r["id"]: r["h"]
+        for r in verts.select(
+            "id", portable_hash(F.col("id").cast("string")).alias("h")
+        ).collect()
+    }
+
+    def start(v: int) -> int:
+        # divisibility checks are sign-independent, so the Python mirror
+        # of the Spark when-chain needs no pmod care
+        for j in range(beta_cap, 0, -1):
+            if hv[v] % (2 ** j) == 0:
+                return beta_cap - j
+        return beta_cap
+
+    big = 2 ** 32
+    cap_key = (radius_cap + 1) * big
+    key = {v: start(v) * big + v for v in range(n)}
+    for _ in range(radius_cap):
+        new = dict(key)
+        for u, v in sym:  # directed closure pairs: u sends to v
+            m = key[u] + big
+            if m < cap_key and m < new[v]:
+                new[v] = m
+        key = new
+    exp = {v: (key[v] % big, key[v] >> 32) for v in range(n)}
+
+    got = {
+        r["id"]: (r["label"], r["cost"])
+        for r in ldd(edges_df(spark, sym), verts,
+                     beta_cap=beta_cap, radius_cap=radius_cap).collect()
+    }
+    assert got == exp
