@@ -79,6 +79,22 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Raise scan parallelism for CPU-heavy per-doc expansion (guide §2.5,
+    input side): a small corpus file yields 1-2 input splits, which would
+    run the shingle explode + per-shingle md5 single-threaded. Repartition
+    UP to the cluster parallelism only when the input has fewer splits —
+    at crawl scale the scan already has more partitions than cores and the
+    (payload-moving) shuffle would be a pessimization, so it is skipped.
+    Results are unaffected: every consumer aggregates with min/sum over
+    rows whose values are row-local."""
+    sc = docs.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def minhash_pivot(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, m0..m{k-1}): MinHash signature, one row per document.
 
@@ -92,7 +108,8 @@ def minhash_pivot(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     # (multi-referenced alias, so Catalyst can't inline the tokenizer into
     # every element_at of the shingle window — see shingles_from_tokens).
     toks = (
-        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        _spread(docs)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
         .select(
             "doc_id",
             F.explode(F.array_distinct(shingles_from_tokens(F.col("t")))).alias("tok"),
@@ -259,7 +276,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     exchange). Map-side combine partial-aggregates the lanes, so a hub
     document contributes one combined row per map partition.
     """
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
     h = toks.select(

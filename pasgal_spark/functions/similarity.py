@@ -101,6 +101,14 @@ def cosine_topk(
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
+    # Raise candidate-side parallelism when the input has fewer splits
+    # than cores (guide §2.5, input side): a small embeddings file is one
+    # split, which would run the whole NumPy scoring pass single-threaded.
+    # At corpus scale the scan already has more partitions and this is
+    # skipped (the repartition would pointlessly move the vectors).
+    sc = emb.sparkSession.sparkContext
+    if e.rdd.getNumPartitions() < sc.defaultParallelism:
+        e = e.repartition(sc.defaultParallelism)
     pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
 
     def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -213,18 +221,55 @@ def bucketed_ann(
     """
     import numpy as np
     import pandas as pd
+    from collections.abc import Iterator
+
+    # ONE Arrow pass computes the bucket AND carries the embedding through
+    # (r6). The old shape derived `hyperplane_buckets` THREE times (cap
+    # aggregate + semi-join side + the vec_id equi-join back to the
+    # payload) — three Python kernel passes and a payload shuffle by
+    # vec_id followed by another by bucket. Here the payload moves exactly
+    # once, keyed by its final destination (guide §8: move heavy bytes
+    # once); the skew cap becomes a count window over the same
+    # bucket-keyed exchange, and the grouped kernel reuses that
+    # partitioning (no second exchange). Bucket bits are bit-identical:
+    # same plane matrix, same ascending-j fold as hyperplane_buckets.
+    dim, n_planes = DIM, N_PLANES
+    w = np.array(
+        [
+            [(p * 131071 + j * 524287) % 2001 - 1000 for p in range(n_planes)]
+            for j in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    bits = np.array([2 ** p for p in range(n_planes)], dtype=np.int64)
+
+    def _buckets_with_vec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = _validate_batch(pdf["e"], dim)
+            acc = np.zeros((len(pdf), n_planes))
+            for j in range(dim):  # ascending j: oracle-exact fold order
+                acc += np.outer(x[:, j], w[j])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "bucket": ((acc > 0) @ bits).astype(np.int64),
+                    "e": pdf["e"],
+                }
+            )
 
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    b = hyperplane_buckets(emb)
+    eb = e.mapInPandas(
+        _buckets_with_vec, "vec_id long, bucket long, e array<double>"
+    )
     if max_bucket is not None:
-        ok = (
-            b.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        wspec = Window.partitionBy("bucket")
+        eb = (
+            eb.withColumn("_n", F.count(F.lit(1)).over(wspec))
             .filter(F.col("_n") <= max_bucket)
-            .select("bucket")
+            .drop("_n")
         )
-        b = b.join(ok, "bucket", "left_semi")
-    eb = e.join(b, "vec_id")
 
     # Per-bucket vectorized kernel (applyInPandas): a vector's every
     # candidate lives in its own bucket, so the within-bucket top-k IS the

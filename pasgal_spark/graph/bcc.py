@@ -330,6 +330,29 @@ def _cc_and_tags(
     return cc, bcc_tags(sym, vertices, cc, strategy=strategy)
 
 
+def _fence_cc(sym: DataFrame, tags: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Connectivity over the fence-filtered graph — the BCC clustering
+    step, with the r6 job diet: the PRE-filter edge count (one cheap count
+    on the pinned ingest leaf) upper-bounds the fence output, so on the
+    driver-budget path the fence pass is computed exactly once inside the
+    residual collect — no probe job, no cache. Past the budget the fence
+    output is cached so the distributed two-phase rounds don't re-derive
+    the fence per superstep; the labeling never references it once phase 1
+    is sealed, so the cache is released immediately after.
+    """
+    from pasgal_spark.graph.euler import MAX_DRIVER_ROWS
+
+    m_upper = sym.count()
+    small = m_upper <= 2 * MAX_DRIVER_ROWS  # = auto's max_residual default
+    filtered = fence_filter(sym, tags)
+    if not small:
+        filtered = filtered.cache()
+    labels = connected_components_auto(filtered, vertices, m_upper=m_upper)
+    if not small:
+        filtered.unpersist()
+    return labels
+
+
 def bcc(
     sym: DataFrame,
     vertices: DataFrame,
@@ -346,8 +369,7 @@ def bcc(
     cluster (see ``bcc_edges``).
     """
     _, tags = _cc_and_tags(sym, vertices, cc, strategy)
-    filtered = fence_filter(sym, tags).transform(pin)
-    labels = connected_components_auto(filtered, vertices)
+    labels = _fence_cc(sym, tags, vertices)
     return labels.select("id", F.col("component").alias("bcc"))
 
 
@@ -370,8 +392,7 @@ def bcc_edges(
     """
     if tags is None:
         _, tags = _cc_and_tags(sym, vertices, cc, strategy)
-    filtered = fence_filter(sym, tags).transform(pin)
-    labels = connected_components_auto(filtered, vertices).select(
+    labels = _fence_cc(sym, tags, vertices).select(
         "id", F.col("component").alias("lbl")
     )
     fx = tags.select("id", "first").join(labels, "id")
@@ -508,10 +529,15 @@ def tarjan_vishkin_bcc_edges(
     aux_sym = links.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(links.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    # cache + probe-materialize + release (r6): auto references the aux
+    # edge set twice (count probe + residual); uncached it would derive
+    # the whole link construction twice
+    aux_sym = aux_sym.cache()
     nodes = nonroot.select("id")
     labels = connected_components_auto(aux_sym, nodes).select(
         "id", F.col("component").alias("lbl")
     )
+    aux_sym.unpersist()
     child = F.when(
         is_tree,
         F.when(F.col("p_dst") == F.col("src"), F.col("dst")).otherwise(F.col("src")),

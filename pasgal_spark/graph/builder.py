@@ -95,6 +95,43 @@ class LinkGraph:
         return self.edges.sparkSession
 
 
+# Ingest partition sizing: ~bytes of source parquet per cached edge
+# partition. The edge tables derive ~1 row per orders row, so the orders
+# parquet size is a free (zero-job) proxy for edge-table volume. 8 MB of
+# parquet ≈ 1M edges ≈ 16 MB in-memory — the "fewer, larger map tasks"
+# rule (guide §2.2/§6): a constant partition count leaves KB-sized map
+# tasks at small tiers and under-splits at large ones. Env-overridable
+# for cluster tiers.
+INGEST_TARGET_BYTES = int(
+    __import__("os").environ.get("SPARK_GRAFT_INGEST_TARGET_BYTES", str(8 * 1024 * 1024))
+)
+
+
+def _derive_partitions(sf_dir: str, requested: int) -> int:
+    """Scale-adaptive ingest partition count: ceil(orders bytes / target),
+    floored at 1, capped at the caller's ``requested`` (the cluster
+    parallelism hint). Falls back to ``requested`` when the size cannot
+    be read (non-local paths)."""
+    import math
+    import os
+
+    p = os.path.join(sf_dir, "orders.parquet")
+    try:
+        if os.path.isdir(p):
+            nbytes = sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        else:
+            nbytes = os.path.getsize(p)
+    except OSError:
+        return requested
+    # floor 2, not 1: a SinglePartition checkpoint does NOT co-partition —
+    # EnsureRequirements special-cases numPartitions == 1 and re-shuffles
+    # BOTH join sides to the conf default, re-exchanging the edge table
+    # every superstep (observed in the r6 explain gate at sf0.01)
+    return max(2, min(requested, math.ceil(nbytes / INGEST_TARGET_BYTES)))
+
+
 def build_graph(
     spark: SparkSession,
     sf_dir: str,
@@ -114,19 +151,58 @@ def build_graph(
     wedges = q("SELECT src, dst, w FROM wedges")
 
     if partitions:
-        # Range-partition by src: the big-fanout shuffle key for every
-        # superstep join (north_rule: explicit partitioning of the edge
-        # table).  On a cluster this would be a bucketed table.
-        edges = edges.repartitionByRange(partitions, "src")
-        sym = sym.repartitionByRange(partitions, "src")
-        wedges = wedges.repartitionByRange(partitions, "src")
+        # HASH-partition by src + sort within partitions: the superstep
+        # join key layout (north_rule: explicit partitioning of the edge
+        # table; on a cluster this would be a bucketed table). Hash (r6,
+        # was range) because hash partitioning SATISFIES an equi-join's
+        # required distribution — the cached edge side then feeds every
+        # superstep join with NO per-superstep Exchange or re-broadcast,
+        # only the O(|V|) state side moves (guide §2.4: share the
+        # exchange; §3.1: pick the strategy deliberately). Range
+        # partitioning never matches a hash requirement, so the old
+        # layout silently re-broadcast (small tiers) or re-shuffled (big
+        # tiers) the whole edge table every superstep. The sort makes the
+        # cached layout also satisfy sort-merge's ordering requirement.
+        # The count is derived from input bytes (capped at the caller's
+        # parallelism hint) so map tasks stay MB-sized at every tier
+        # instead of a constant tuned for one (guide §2.2).
+        partitions = _derive_partitions(sf_dir, partitions)
+        edges = edges.repartition(partitions, "src")
+        sym = sym.repartition(partitions, "src")
+        wedges = wedges.repartition(partitions, "src")
     if cache:
-        edges.cache()
-        sym.cache()
-        vertices.cache()
-        # wedges feeds every SSSP superstep's relax join — uncached it
-        # re-derives from the orders parquet (scan+union+distinct) per step.
-        wedges.cache()
+        # Materialize the ingest tables as partitioning-DECLARING
+        # LogicalRDD LEAVES, then cache the leaf (r6; was a lazy .cache()
+        # of the raw derivation). Three properties, all measured this
+        # round:
+        # - LEAF logical plans: a cached-but-not-checkpointed table keeps
+        #   its whole derivation (parquet scans + CTE unions + distinct)
+        #   in the LOGICAL plan of every consumer, and the iterative
+        #   kernels re-analyze that subtree on every superstep — 0.3-0.6 s
+        #   of pure driver planning per superstep at sf0.1.
+        # - ``pin(hash_cols=("src",))`` declares HashPartitioning(src, N)
+        #   over the leaf's own attributes, so every superstep join
+        #   consumes the layout with NO edge-side exchange or re-broadcast
+        #   (the bucketed-table idiom, guide §2.4) — the checkpoint's own
+        #   captured partitioning never matches (see plans/lineage.py).
+        # - ``.cache()`` of the LEAF (an InMemoryRelation over a leaf is
+        #   O(1) to canonicalize) gives Catalyst REAL size statistics
+        #   after materialization, so broadcast decisions track the
+        #   actual tier instead of treating every checkpoint as the 1 TiB
+        #   default; InMemoryTableScan passes the declared partitioning
+        #   through. The eager counts below materialize stats before the
+        #   first consumer plans against the tables.
+        from pasgal_spark.plans.lineage import pin
+
+        edges = pin(edges, hash_cols=("src",)).cache()
+        sym = pin(sym, hash_cols=("src",)).cache()
+        vertices = pin(vertices).cache()
+        # wedges feeds every SSSP superstep's relax join — unpinned it
+        # re-derives from the orders parquet (scan+union+distinct) per
+        # step and re-plans the derivation per superstep.
+        wedges = pin(wedges, hash_cols=("src",)).cache()
+        for df in (edges, sym, vertices, wedges):
+            df.count()
     return LinkGraph(edges=edges, sym=sym, vertices=vertices, wedges=wedges)
 
 

@@ -27,12 +27,74 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pasgal_spark.plans.lineage import pin
+from pasgal_spark.plans.lineage import fast_pin, pin
 
-from pasgal_spark.graph.kernels import _StateChain
+from pasgal_spark.graph.kernels import _StateChain, _hint_state
 
 
-def reachability(edges: DataFrame, source: int = 0, *, max_iterations: int = 100) -> DataFrame:
+def _frontier_expand(
+    edges: DataFrame,
+    seed: DataFrame,
+    key_cols: list[str],
+    *,
+    max_iterations: int,
+    who: str,
+    hinted: bool = True,
+) -> DataFrame:
+    """Shared BFS-style closure loop for reachability/multi_reachability.
+
+    r6 job diet (was: eager-checkpoint nxt + isEmpty + eager-checkpoint
+    visited = 3 jobs per level): per level ONE count job on the cached
+    frontier; visited stays a lazy union of fast_pin'd leaves, re-pinned
+    every 3 levels; the result is pinned before the caches are released.
+    ``hinted``: apply the state-side join hint — only when ``edges`` is
+    the ingest-partitioned cached table (scc passes False for its
+    shrunken work graphs, where the hint would force a pointless
+    edge-side exchange).
+    """
+    visited = seed.transform(pin)
+    frontier = visited
+    live_caches: list[DataFrame] = []
+    try:
+        for it in range(max_iterations + 1):
+            f = _hint_state(frontier) if hinted else frontier
+            nxt = (
+                edges.join(f, edges.src == f.id)
+                .select(edges.dst.alias("id"), *key_cols[1:])
+                .distinct()
+                .join(visited, key_cols, "left_anti")
+            )
+            # rebind-then-cache: one Catalyst compile per level (see
+            # kernels._StateChain.advance)
+            nxt = fast_pin(nxt).cache()
+            live_caches.append(nxt)
+            empty = nxt.count() == 0
+            if empty:
+                break
+            if it == max_iterations:
+                # probed after the emptiness test: a graph whose frontier
+                # dies at exactly max_iterations succeeds (ADVICE r3)
+                raise RuntimeError(
+                    f"{who}: frontier still live after {max_iterations} "
+                    "supersteps; raise max_iterations (long-diameter graph)"
+                )
+            visited = visited.unionByName(nxt)
+            if (it + 1) % 3 == 0:
+                visited = pin(visited)
+                for c in live_caches:
+                    c.unpersist()
+                live_caches = []
+            frontier = nxt
+        return pin(visited)
+    finally:
+        for c in live_caches:
+            c.unpersist()
+
+
+def reachability(
+    edges: DataFrame, source: int = 0, *, max_iterations: int = 100,
+    hinted: bool = True,
+) -> DataFrame:
     """(id) reachable from ``source`` over directed edges (incl. source).
 
     Raises if the superstep budget is exhausted with a live frontier —
@@ -41,32 +103,16 @@ def reachability(edges: DataFrame, source: int = 0, *, max_iterations: int = 100
     round budget.
     """
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(source,)], "id long").transform(pin)
-    frontier = visited
-    for it in range(max_iterations + 1):
-        nxt = (
-            edges.join(frontier, edges.src == frontier.id)
-            .select(edges.dst.alias("id"))
-            .distinct()
-            .join(visited, "id", "left_anti")
-            .transform(pin)
-        )
-        if nxt.isEmpty():
-            break
-        if it == max_iterations:
-            # probed after the emptiness test: a graph whose frontier dies
-            # at exactly max_iterations succeeds (ADVICE r3)
-            raise RuntimeError(
-                f"reachability: frontier still live after {max_iterations} "
-                "supersteps; raise max_iterations (long-diameter graph)"
-            )
-        visited = visited.unionByName(nxt).transform(pin)
-        frontier = nxt
-    return visited
+    seed = spark.createDataFrame([(source,)], "id long")
+    return _frontier_expand(
+        edges, seed, ["id"],
+        max_iterations=max_iterations, who="reachability", hinted=hinted,
+    )
 
 
 def multi_reachability(
-    edges: DataFrame, sources: list[int], *, max_iterations: int = 100
+    edges: DataFrame, sources: list[int], *, max_iterations: int = 100,
+    hinted: bool = True,
 ) -> DataFrame:
     """(id, source): which of ``sources`` reaches each vertex.
 
@@ -75,31 +121,13 @@ def multi_reachability(
     multimap (src/SCC/resizable_table.h:40-173).
     """
     spark = edges.sparkSession
-    visited = spark.createDataFrame(
+    seed = spark.createDataFrame(
         [(s, s) for s in sources], "id long, source long"
-    ).transform(pin)
-    frontier = visited
-    for it in range(max_iterations + 1):
-        nxt = (
-            edges.join(frontier, edges.src == frontier.id)
-            .select(edges.dst.alias("id"), "source")
-            .distinct()
-            .join(visited, ["id", "source"], "left_anti")
-            .transform(pin)
-        )
-        if nxt.isEmpty():
-            break
-        if it == max_iterations:
-            # probed after the emptiness test (same boundary rule as
-            # reachability; ADVICE r3)
-            raise RuntimeError(
-                f"multi_reachability: frontier still live after "
-                f"{max_iterations} supersteps; raise max_iterations "
-                "(long-diameter graph)"
-            )
-        visited = visited.unionByName(nxt).transform(pin)
-        frontier = nxt
-    return visited
+    )
+    return _frontier_expand(
+        edges, seed, ["id", "source"],
+        max_iterations=max_iterations, who="multi_reachability", hinted=hinted,
+    )
 
 
 def _min_label_to_fixpoint(
@@ -113,6 +141,7 @@ def _min_label_to_fixpoint(
     round send; an empty frontier is a true fixpoint (monotone min).
     """
     frontier = labels  # round 0: every vertex is a sender
+    chain = _StateChain(3)
     converged = False
     for it in range(max_iterations):
         msgs = (
@@ -124,19 +153,24 @@ def _min_label_to_fixpoint(
             )
         )
         st = labels.select("id", "lbl", F.col("lbl").alias("old"))
-        new = (
+        new = chain.advance(
             st.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
-        ).transform(pin)
-        frontier = new.filter(
-            F.col("old").isNull() | (F.col("lbl") < F.col("old"))
-        ).select("id", "lbl")
+        )
+        # ONE fused aggregate job per round (r6, was eager checkpoint +
+        # isEmpty): materializes the generation and counts senders.
+        changed = F.col("old").isNull() | (F.col("lbl") < F.col("old"))
+        n_frontier = (
+            new.agg(F.sum(F.when(changed, 1)).alias("nf")).first()["nf"] or 0
+        )
+        frontier = new.filter(changed).select("id", "lbl")
         labels = new.select("id", "lbl")
-        converged = frontier.isEmpty()
+        converged = n_frontier == 0
         if converged:
             break
     if not converged:
+        chain.close()
         # Raise-don't-truncate (same policy as reachability above):
         # unconverged min-labels would make scc() settle wrong components.
         raise RuntimeError(
@@ -144,7 +178,7 @@ def _min_label_to_fixpoint(
             f"{max_iterations} supersteps; raise max_iterations "
             "(long-diameter graph)"
         )
-    return labels
+    return chain.seal(labels)
 
 
 def scc(
@@ -226,10 +260,11 @@ def scc(
             .first()
         )
         source = pick["id"]
-        fwd = reachability(work_edges, source)
+        fwd = reachability(work_edges, source, hinted=False)
         bwd = reachability(
             work_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
             source,
+            hinted=False,
         )
         giant = fwd.join(bwd, "id").transform(pin)
         lbl = giant.agg(F.min("id")).first()[0]
@@ -254,10 +289,11 @@ def scc(
                 F.abs(F.xxhash64("id")), F.asc("id")
             ).limit(batch).collect()
         ]
-        fwd = multi_reachability(work_edges, srcs)
+        fwd = multi_reachability(work_edges, srcs, hinted=False)
         bwd = multi_reachability(
             work_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
             srcs,
+            hinted=False,
         )
         members = fwd.join(bwd, ["id", "source"])
         lbls = members.groupBy("source").agg(F.min("id").alias("scc"))

@@ -182,15 +182,26 @@ def boruvka_forest_cc(
         # whether phase 1 is needed at all: for a symmetric deduped edge
         # table the unordered pair count is m/2
         shrink_rounds = 0 if sym.count() <= 2 * max_residual else 1
-    labels = vertices.select("id", F.col("id").alias("comp")).transform(pin)
+    # identity labels: lazy select is enough — every consumer below either
+    # rewrites it (contraction rounds) or reads it through the no-join
+    # identity _cross fast path (r6: the old eager pin here was a pure
+    # job-count tax on the driver fast path)
+    labels = vertices.select("id", F.col("id").alias("comp"))
     phase1_engaged = False
     uf_parent: dict[int, int] = {}
     forest_parts: list[DataFrame] = []
 
     def _cross(labels: DataFrame) -> DataFrame:
+        key = _pack(F.least("src", "dst"), F.greatest("src", "dst"))
+        if not phase1_engaged:
+            # labels are still the identity (comp == id): the two
+            # relabeling joins compile away — one scan of the cached edge
+            # table instead of two shuffled joins (r6)
+            return sym.filter(F.col("src") != F.col("dst")).select(
+                F.col("src").alias("ca"), F.col("dst").alias("cb"), key.alias("key")
+            )
         la = labels.select(F.col("id").alias("src"), F.col("comp").alias("ca"))
         lb = labels.select(F.col("id").alias("dst"), F.col("comp").alias("cb"))
-        key = _pack(F.least("src", "dst"), F.greatest("src", "dst"))
         return (
             sym.join(la, "src")
             .join(lb, "dst")
@@ -201,8 +212,8 @@ def boruvka_forest_cc(
     def _one_round(labels: DataFrame) -> tuple[int, DataFrame]:
         """One Borůvka round; returns (#chosen edges, new labels)."""
         nonlocal phase1_engaged
-        phase1_engaged = True
-        cross = _cross(labels)
+        cross = _cross(labels)  # BEFORE the flag flips: round 1's labels
+        phase1_engaged = True   # are still the identity (fast-path valid)
         pick = cross.groupBy("ca").agg(F.min("key").alias("key"))
         chosen = (
             pick.join(cross, ["ca", "key"]).select("ca", "cb", "key").distinct()
@@ -306,22 +317,21 @@ def boruvka_forest_cc(
                 done = True
             continue
         # residual component multigraph, one min-key edge per unordered
-        # component pair — bounded by the contracted graph's size
+        # component pair — bounded by the contracted graph's size. ONE
+        # limit-bounded collect serves count-check and rows (r6, was
+        # cache + count + collect = 2 jobs + a cache entry).
         rem = (
             _cross(labels)
             .groupBy(
                 F.least("ca", "cb").alias("x"), F.greatest("ca", "cb").alias("y")
             )
             .agg(F.min("key").alias("key"))
-            .cache()
         )
-        cnt = rem.count()
+        rows = rem.select("x", "y", "key").limit(max_residual + 1).collect()
+        cnt = len(rows)
         if cnt == 0:
-            rem.unpersist()
             break
         if cnt <= max_residual:
-            rows = rem.select("x", "y", "key").collect()
-            rem.unpersist()
             # deterministic driver union-find (path halving), edges in
             # ascending key order — the exact idiom of
             # kernels.cc_phase2_union_find. Link larger root under
@@ -355,10 +365,9 @@ def boruvka_forest_cc(
                     )
                 )
             break
-        rem.unpersist()
         if rounds_done >= max_rounds:
             raise RuntimeError(
-                f"boruvka_forest: residual {cnt} exceeds max_residual "
+                f"boruvka_forest: residual exceeds max_residual "
                 f"({max_residual}) after {rounds_done} rounds"
             )
         last_n_chosen, labels = _one_round(labels)
@@ -368,6 +377,13 @@ def boruvka_forest_cc(
 
     if not forest_parts:
         forest = spark.createDataFrame([], "a long, b long")
+    elif not phase1_engaged and len(forest_parts) == 1:
+        # pure driver path: the forest is a single driver-built relation
+        # whose keys are unique by construction (one per accepted union).
+        # Keep it a LocalRelation (r6): the old distinct+pin paid a job,
+        # and downstream euler_tags' limit+toPandas on a LocalRelation is
+        # a DRIVER-LOCAL conversion — zero jobs.
+        forest = forest_parts[0]
     else:
         out = forest_parts[0]
         for df in forest_parts[1:]:
@@ -522,15 +538,19 @@ def euler_tags(
     """
     budget = MAX_DRIVER_ROWS if max_driver_list is None else max_driver_list
     spark = forest.sparkSession
-    n_edges = forest.count()
-    if n_edges <= budget:
-        if n_edges == 0:
+    # ONE limit-bounded toPandas serves both the budget probe and the
+    # fast-path rows (r6, was count + toPandas = 2 jobs); only the
+    # distributed path still needs the exact count for its round bound.
+    pdf = forest.limit(budget + 1).toPandas()
+    if len(pdf) <= budget:
+        if len(pdf) == 0:
             ent = spark.createDataFrame([], "id long, minp long, maxp long, par long")
         else:
-            pdf = forest.toPandas()
             ent_pdf = _euler_ent_numpy(pdf["a"].to_numpy(), pdf["b"].to_numpy())
             ent = spark.createDataFrame(ent_pdf)
         return _tags_from_ent(cc, ent)
+    del pdf
+    n_edges = forest.count()
 
     arcs = forest.select(
         F.col("a").alias("u"), F.col("b").alias("v")
@@ -702,32 +722,28 @@ def subtree_minmax(
             F.least("first", F.coalesce("nt_min", "first")).alias("w1"),
             F.greatest("first", F.coalesce("nt_max", "first")).alias("w2"),
         )
-        .transform(pin)
+        .cache()  # r6: cache (multi-referenced below), materialized by the
+        # first probe job — the old eager pin here was an extra job
     )
 
-    # ONE probe job serves both paths: the driver-budget row count and
-    # the distributed table's level count
     budget = MAX_DRIVER_ROWS if max_driver_table is None else max_driver_table
-    probe = base.agg(
-        F.max("last").alias("ml"),
-        F.sum(F.when(F.col("last") > 0, 1).otherwise(0)).alias("nt"),
-    ).first()
-    max_last = probe["ml"] or 0
-    n_tree = probe["nt"] or 0
     spark = base.sparkSession
-    if n_tree <= budget:
-        # hybrid driver path: collect the tree vertices' (position, w1, w2)
-        # rows, run the identical sparse-table doubling vectorized, upload
+    # ONE limit-bounded toPandas serves the budget probe AND the fast-path
+    # rows (r6, was pin + probe-agg + toPandas = 3 jobs)
+    pdf = (
+        base.filter(F.col("last") > 0)
+        .select("component", "id", "first", "last", "w1", "w2")
+        .limit(budget + 1)
+        .toPandas()
+    )
+    if len(pdf) <= budget:
+        # hybrid driver path: the tree vertices' (position, w1, w2) rows
+        # run the identical sparse-table doubling vectorized; upload
         # (id, low, high) for internal vertices; leaves/isolated coalesce
         # to their own w1/w2 (= the one-position range answer)
-        if n_tree == 0:
+        if len(pdf) == 0:
             res = spark.createDataFrame([], "id long, low long, high long")
         else:
-            pdf = (
-                base.filter(F.col("last") > 0)
-                .select("component", "id", "first", "last", "w1", "w2")
-                .toPandas()
-            )
             res_pdf = _minmax_numpy(
                 pdf["component"].to_numpy(),
                 pdf["id"].to_numpy(),
@@ -740,7 +756,7 @@ def subtree_minmax(
                 res = spark.createDataFrame([], "id long, low long, high long")
             else:
                 res = spark.createDataFrame(res_pdf)
-        return (
+        out = (
             base.join(res, "id", "left")
             .select(
                 "id",
@@ -752,6 +768,10 @@ def subtree_minmax(
             )
             .transform(pin)
         )
+        base.unpersist()
+        return out
+    del pdf
+    max_last = base.agg(F.max("last")).first()[0] or 0
 
     n_levels = max(1, math.ceil(math.log2(max_last + 2)))
     cur = base.select(
@@ -811,7 +831,7 @@ def subtree_minmax(
         F.col("mn").alias("mn2"),
         F.col("mx").alias("mx2"),
     )
-    return (
+    out = (
         q.join(m1, ["component", "k", "l"], "left")
         .join(m2, ["component", "k", "r2"], "left")
         .select(
@@ -826,6 +846,8 @@ def subtree_minmax(
         )
         .transform(pin)
     )
+    base.unpersist()
+    return out
 
 
 def euler_bcc_tags(

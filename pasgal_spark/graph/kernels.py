@@ -37,18 +37,39 @@ pasgal_spark.plans.checkpoints for the resumable variant).
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pasgal_spark.plans.lineage import pin
+from pasgal_spark.plans.lineage import fast_pin, pin
+
+# Join-strategy hint for the state/frontier side of superstep joins
+# (guide §3.1: pick the strategy deliberately). The edge table is cached
+# hash-partitioned by src (builder.build_graph), so a shuffled join reuses
+# that layout: the O(m) edge side feeds the join with NO per-superstep
+# Exchange and only the O(|V|)-or-smaller state side moves. Without the
+# hint Catalyst instead BROADCASTS whichever side's stats beat the
+# threshold — at small tiers that is the edge table, re-broadcast every
+# superstep; at big tiers neither fits and sort-merge re-exchanges the
+# edge side (range partitioning never satisfied the hash requirement).
+# Measured r6 (157k edges, 8 supersteps): shuffle_hash 3.7 s vs
+# edge-broadcast 6.1 s vs sort-merge-hint 4.5 s. ``shuffle_hash`` builds
+# the hash map from the per-partition slice of the SMALL state side
+# (spillable in Spark 3.2+); set SPARK_GRAFT_STATE_JOIN_HINT=merge for
+# strict sort-merge, or "none" to let Catalyst/AQE choose.
+STATE_JOIN_HINT = os.environ.get("SPARK_GRAFT_STATE_JOIN_HINT", "shuffle_hash")
 
 
-def _truncate(df: DataFrame, it: int, every: int) -> DataFrame:
-    """Eagerly materialize + cut lineage every ``every`` supersteps."""
-    if every and it % every == every - 1:
-        return df.transform(pin)
+def _hint_state(df: DataFrame) -> DataFrame:
+    """Apply the configured join-strategy hint to a state/frontier side.
+
+    Only meaningful when the other (edge) side is the ingest-partitioned
+    cached table; kernels joining against derived/shrunken edge sets skip
+    it and let AQE decide."""
+    if STATE_JOIN_HINT in ("shuffle_hash", "merge"):
+        return df.hint(STATE_JOIN_HINT)
     return df
 
 
@@ -70,6 +91,7 @@ class _StateChain:
         self.every = max(1, every)
         self._gen = 0
         self._live: list[DataFrame] = []
+        self.last_pinned = True  # no generation yet: nothing cache-backed
 
     def advance(self, df: DataFrame, *, force: bool = False) -> DataFrame:
         self._gen += 1
@@ -78,10 +100,34 @@ class _StateChain:
             for c in self._live:
                 c.unpersist()
             self._live = []
+            self.last_pinned = True
         else:
-            out = df.cache()
+            # fast_pin (r6): zero-job LogicalRDD rebind. A bare cache()
+            # keeps the full logical tree, and generations referencing
+            # their predecessor 2-3x make Catalyst's canonicalization
+            # walks grow 4x PER GENERATION (measured: 54 s to plan
+            # superstep 8 of a 157k-edge loop). The rebind keeps the
+            # logical plan O(1) per generation; the periodic pin above
+            # still truncates the accumulated RDD lineage. Rebind FIRST,
+            # cache the leaf: the real plan compiles exactly once (caching
+            # the original frame would compile it a second time for the
+            # InMemoryRelation).
+            out = fast_pin(df).cache()
             self._live.append(out)
+            self.last_pinned = False
         return out
+
+    def seal(self, df: DataFrame) -> DataFrame:
+        """Pin ``df`` (derived from the last generation) unless that
+        generation is already checkpoint-backed, then release every live
+        cache. Callers MUST route their return value through this (or pin
+        it themselves) before the chain is closed — a cache()-backed final
+        generation would otherwise recompute its whole lineage on first
+        use after ``close()`` unpersists it."""
+        if not self.last_pinned:
+            df = df.transform(pin)
+        self.close()
+        return df
 
     def close(self) -> None:
         for c in self._live:
@@ -153,13 +199,25 @@ def pagerank(
     chain = _StateChain(checkpoint_every)
     # Web graphs usually have dangling pages, but when a derived graph has
     # none the whole dangling branch (scan + broadcast + crossJoin per
-    # superstep) is dead weight — check once up front.
-    has_dangling = base.filter("out_deg = 0").limit(1).count() > 0
+    # superstep) is dead weight — check once up front. The count doubles as
+    # the initial dangling mass for the tol-mode fused aggregate (r6).
+    n_dangling = base.filter("out_deg = 0").count()
+    has_dangling = n_dangling > 0
+
+    if tol is not None:
+        return _pagerank_tol(
+            edges, state, chain,
+            n=n, damping=damping, tol=tol, iterations=iterations,
+            # dangling term = (Σ rank over dangling)/n; initial ranks are 1/n
+            dangling_mass=(n_dangling * (1.0 / n)) / n if has_dangling else None,
+            on_superstep=on_superstep,
+        )
 
     it = 0
     while True:
+        s = _hint_state(state)
         contribs = (
-            edges.join(state, edges.src == state.id)
+            edges.join(s, edges.src == s.id)
             .select(edges.dst.alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
         )
         if salt_buckets:
@@ -195,38 +253,113 @@ def pagerank(
             new_state = prev.join(sums, "id", "left").select(
                 "id", "out_deg", new_rank.alias("rank"), "prev_rank"
             )
-        if tol is not None:
-            # Convergence mode touches the state every superstep anyway —
-            # materialize each iteration so the delta job reads cached
-            # blocks instead of recomputing the chain.
-            new_state = chain.advance(new_state, force=True)
-        else:
-            last = iterations is not None and it + 1 >= iterations
-            new_state = chain.advance(new_state, force=last)
+        last = iterations is not None and it + 1 >= iterations
+        new_state = chain.advance(new_state, force=last)
 
         it += 1
-        if tol is not None:
-            # One aggregate job per superstep over the already-materialized
-            # state: the convergence metric the north_rule records per
-            # iteration anyway. No join — prev_rank rode along.
-            delta = new_state.agg(
-                F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")
-            ).first()[0]
-            if on_superstep:
-                on_superstep(it, delta)
-            state = new_state
-            if delta < tol or (iterations and it >= iterations):
-                break
-        else:
-            if on_superstep:
-                on_superstep(it, float("nan"))
-            state = new_state
-            if it >= iterations:
-                break
+        if on_superstep:
+            on_superstep(it, float("nan"))
+        state = new_state
+        if it >= iterations:
+            break
 
     out = state.select("id", "rank")
     chain.close()
     return out
+
+
+def _pagerank_tol(
+    edges: DataFrame,
+    state: DataFrame,
+    chain: _StateChain,
+    *,
+    n: int,
+    damping: float,
+    tol: float,
+    iterations: int | None,
+    dangling_mass: float | None,
+    on_superstep: Callable[[int, float], None] | None,
+) -> DataFrame:
+    """Convergence-mode PageRank superstep loop (r6 fused shape).
+
+    Two structural changes vs the iteration-mode loop, both per guide
+    §2.3/§2.4 (fewer exchanges) and §1.2 (fewer driver actions):
+
+    - **One exchange per superstep.** The state row rides the SAME
+      union+groupBy aggregate as the messages (the CC/LPA message-combine
+      shape) instead of a second SortMergeJoin of prev⋈sums — the old
+      shape paid 3 Exchanges per superstep (contrib agg + both join
+      sides), this one pays 1. Ids absent from the state (edge targets
+      outside ``vertices``) are dropped by the ``prev_rank IS NOT NULL``
+      filter — exactly the old left-join semantics.
+    - **One job per superstep.** The new state is cache()-registered
+      (pinned every ``chain.every`` generations) and ONE aggregate job
+      both materializes it and returns (convergence delta, dangling
+      mass). The dangling mass then enters the next superstep as a plain
+      float literal — no per-superstep broadcast crossJoin subtree. The
+      old shape paid 2 jobs (eager checkpoint + delta agg) plus a
+      dangling scalar-agg subquery per superstep.
+
+    Results: identical per-vertex rank recurrence; double sums may differ
+    in the last ulp from the join shape (same class as the Spark↔DuckDB
+    fold difference the 6-decimal rounding already absorbs; pinned by the
+    power-iteration allclose property test).
+    """
+    it = 0
+    dm = dangling_mass  # None = graph has no dangling vertices
+    while True:
+        dangling_term = F.lit(dm) if dm is not None else F.lit(0.0)
+        st = state.select(
+            "id",
+            "out_deg",
+            F.col("rank").alias("prev_rank"),
+            F.lit(None).cast("double").alias("c"),
+        )
+        s = _hint_state(state)
+        msgs = edges.join(s, edges.src == s.id).select(
+            edges.dst.alias("id"),
+            F.lit(None).cast("long").alias("out_deg"),
+            F.lit(None).cast("double").alias("prev_rank"),
+            (F.col("rank") / F.col("out_deg")).alias("c"),
+        )
+        new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+            F.coalesce(F.sum("c"), F.lit(0.0)) + dangling_term
+        )
+        new_state = (
+            st.unionByName(msgs)
+            .groupBy("id")
+            .agg(
+                F.min("out_deg").alias("out_deg"),
+                new_rank.alias("rank"),
+                F.min("prev_rank").alias("prev_rank"),
+            )
+            .filter(F.col("prev_rank").isNotNull())
+        )
+        new_state = chain.advance(new_state)
+
+        it += 1
+        # ONE aggregate job per superstep: materializes the cached state
+        # AND returns the convergence delta + next superstep's dangling
+        # mass (as a driver float, so the next plan carries it as a
+        # literal instead of a broadcast scalar subquery).
+        aggs = [F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")]
+        if dm is not None:
+            aggs.append(
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))).alias("dmass")
+            )
+        row = new_state.agg(*aggs).first()
+        delta = row["d"]
+        if dm is not None:
+            dm = (row["dmass"] or 0.0) / n
+        if on_superstep:
+            on_superstep(it, delta)
+        state = new_state
+        if delta < tol or (iterations and it >= iterations):
+            break
+
+    # The final generation may be cache()-registered (not pinned): seal
+    # pins the result BEFORE the generation caches are released.
+    return chain.seal(state.select("id", "rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +371,7 @@ def connected_components(
     vertices: DataFrame,
     *,
     max_iterations: int = 100,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 4,
     pointer_jump: bool = True,
     on_round: Callable[[int], None] | None = None,
 ) -> DataFrame:
@@ -262,10 +395,12 @@ def connected_components(
     """
     labels = vertices.select("id", vertices.id.alias("component"))
     frontier = labels  # round 0: every vertex is a sender
+    chain = _StateChain(checkpoint_every)
     converged = False
     for it in range(max_iterations):
+        f = _hint_state(frontier)
         msgs = (
-            sym.join(frontier, sym.src == frontier.id)
+            sym.join(f, sym.src == f.id)
             .select(
                 sym.dst.alias("id"),
                 "component",
@@ -290,24 +425,28 @@ def connected_components(
                     "old",
                 )
             )
-        new = _truncate(new, it, checkpoint_every)
-        # One cheap count on the cached state materializes the generation
-        # AND decides convergence: empty frontier ⟺ no label changed ⟺
-        # fixpoint (labels are monotone non-increasing).
+        new = chain.advance(new)
+        # ONE aggregate job per round (r6, was eager-checkpoint + isEmpty
+        # probe): materializes the generation AND counts the next
+        # frontier. Zero frontier ⟺ no label changed ⟺ fixpoint (labels
+        # are monotone non-increasing).
         # ``old IS NULL`` = the vertex entered the state via messages only
         # (an edge endpoint absent from ``vertices``): it has never sent,
         # so it must be a sender next round — dropping it would freeze the
         # frontier into a false fixpoint (same rule as sssp's frontier)
-        frontier = new.filter(
-            F.col("old").isNull() | (F.col("component") < F.col("old"))
-        ).select("id", "component")
-        converged = frontier.isEmpty()
+        changed = F.col("old").isNull() | (F.col("component") < F.col("old"))
+        n_frontier = (
+            new.agg(F.sum(F.when(changed, 1)).alias("nf")).first()["nf"] or 0
+        )
+        frontier = new.filter(changed).select("id", "component")
+        converged = n_frontier == 0
         labels = new.select("id", "component")
         if on_round:
             on_round(it)
         if converged:
             break
     if not converged:
+        chain.close()
         # Raise-don't-truncate (same policy as reachability,
         # directed.py:57-62): silently returning unconverged labels would
         # hand callers wrong components on a >budget-diameter graph.
@@ -316,7 +455,7 @@ def connected_components(
             f"{max_iterations} supersteps; raise max_iterations "
             "(long-diameter graph) or use connected_components_two_phase"
         )
-    return labels.select("id", "component")
+    return chain.seal(labels.select("id", "component"))
 
 
 def connected_components_two_phase(
@@ -345,29 +484,53 @@ def connected_components_two_phase(
     Exact for any diameter: grids/chains (reference diameters 59k-102k,
     src/utils/diameter.tsv:8-9) no longer need O(diameter) supersteps.
     Labels are canonical min-ids, identical to ``connected_components``.
+
+    Frontier-based shrink messaging (r6, the hash-min/LPA induction):
+    only vertices whose label changed last round (relaxation OR pointer
+    jump) send, so rounds 2..k shuffle frontier-incident edges instead of
+    |E|. Per-round labels are identical to the all-senders form (monotone
+    min: an unchanged u already delivered its label the round it last
+    changed) — and even a different phase-1 labeling could not change the
+    result, because phase 2 finishes connectivity exactly from ANY
+    labeling whose residual fits the budget.
     """
     labels = vertices.select("id", vertices.id.alias("component"))
+    frontier = labels  # round 0: every vertex is a sender
+    chain = _StateChain(checkpoint_every)
     for it in range(shrink_rounds):
+        f = _hint_state(frontier)
         msgs = (
-            sym.join(labels, sym.src == labels.id)
-            .select(sym.dst.alias("id"), "component")
+            sym.join(f, sym.src == f.id)
+            .select(
+                sym.dst.alias("id"),
+                "component",
+                F.lit(None).cast("long").alias("old"),
+            )
         )
+        st = labels.select("id", "component", F.col("component").alias("old"))
         new = (
-            labels.unionByName(msgs)
+            st.unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"), F.min("old").alias("old"))
         )
         parent = new.select(
             F.col("id").alias("component"), F.col("component").alias("grand")
         )
         new = (
             new.join(parent, "component", "left")
-            .select("id", F.least("component", "grand").alias("component"))
+            .select("id", F.least("component", "grand").alias("component"), "old")
         )
-        labels = _truncate(new, it, checkpoint_every)
+        new = chain.advance(new)
+        frontier = new.filter(
+            F.col("old").isNull() | (F.col("component") < F.col("old"))
+        ).select("id", "component")
+        labels = new.select("id", "component")
         if on_round:
             on_round(it)
-    labels = labels.transform(pin)
+    # seal: pin the final labeling (it feeds three references in phase 2)
+    # and release the generation caches. NO per-round driver action was
+    # paid: the whole shrink chain executes lazily inside this one job.
+    labels = chain.seal(labels)
     return cc_phase2_union_find(
         sym, labels, max_residual=max_residual,
         context=f"after {shrink_rounds} shrink rounds",
@@ -379,6 +542,7 @@ def connected_components_auto(
     vertices: DataFrame,
     *,
     max_residual: int = 4_000_000,
+    m_upper: int | None = None,
 ) -> DataFrame:
     """Exact CC choosing the physical strategy from ONE edge-count probe:
     when the deduped pair count provably fits the driver budget
@@ -388,12 +552,19 @@ def connected_components_auto(
     distributed rounds. Past the budget, the two-phase path (fixed shrink
     supersteps + driver residual) engages unchanged: that is the 100 TB
     path, this is the small-graph job-count path. Labels are canonical min-ids
-    either way (identical to ``connected_components_two_phase``)."""
-    if sym.count() <= 2 * max_residual:
+    either way (identical to ``connected_components_two_phase``).
+
+    ``m_upper``: a caller-known upper bound on ``sym.count()`` (e.g. the
+    pre-filter edge count for a filtered subgraph) — skips the probe job
+    when the bound already fits the budget (r6)."""
+    if m_upper is None or m_upper > 2 * max_residual:
+        m_upper = sym.count()
+    if m_upper <= 2 * max_residual:
         identity = vertices.select("id", vertices.id.alias("component"))
         return cc_phase2_union_find(
             sym, identity, max_residual=max_residual,
             context="(auto: direct driver union-find)",
+            identity_labels=True,
         )
     return connected_components_two_phase(
         sym, vertices, max_residual=max_residual
@@ -406,6 +577,7 @@ def cc_phase2_union_find(
     *,
     max_residual: int = 4_000_000,
     context: str = "",
+    identity_labels: bool = False,
 ) -> DataFrame:
     """Finish connectivity from a shrunken labeling: contract to the
     DISTINCT inter-cluster label pairs, assert the residual is
@@ -414,15 +586,30 @@ def cc_phase2_union_find(
     The Spark rendition of the reference's post-LDD union-find sweep
     (src/BCC/connectivity.h:69-85); shared by the in-memory and the
     checkpointed/resumable two-phase CC drivers.
+
+    ``identity_labels=True``: the caller guarantees component == id for
+    every vertex (the zero-shrink-round direct path), so the residual is
+    just the deduped edge set — the two label relabeling joins compile
+    away (r6: one aggregate over the cached edge table instead of two
+    shuffled joins + aggregate).
     """
-    lu = labels.select(F.col("id").alias("src"), F.col("component").alias("cu"))
-    lv = labels.select(F.col("id").alias("dst"), F.col("component").alias("cv"))
-    residual = (
-        sym.join(lu, "src").join(lv, "dst")
-        .filter(F.col("cu") != F.col("cv"))
-        .select(F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b"))
-        .distinct()
-    )
+    if identity_labels:
+        residual = (
+            sym.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .distinct()
+        )
+    else:
+        lu = labels.select(F.col("id").alias("src"), F.col("component").alias("cu"))
+        lv = labels.select(F.col("id").alias("dst"), F.col("component").alias("cv"))
+        residual = (
+            sym.join(lu, "src").join(lv, "dst")
+            .filter(F.col("cu") != F.col("cv"))
+            .select(F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b"))
+            .distinct()
+        )
     pairs = residual.limit(max_residual + 1).collect()
     if len(pairs) > max_residual:
         raise RuntimeError(
@@ -514,8 +701,9 @@ def label_propagation(
     chain = _StateChain(checkpoint_every)
     label_t = dict(labels.dtypes)["label"]
     for it in range(rounds):
+        f = _hint_state(frontier)
         msgs = (
-            sym.join(frontier, sym.src == frontier.id)
+            sym.join(f, sym.src == f.id)
             .select(
                 sym.dst.alias("id"),
                 "label",
@@ -594,28 +782,36 @@ def ldd(
     # keys send. Per-round keys identical to the all-senders form.
     frontier = state
     cap_key = (radius_cap + 1) * 2 ** 32
+    chain = _StateChain(3)
     for r in range(radius_cap):
+        f = _hint_state(frontier)
         msgs = (
-            sym.join(frontier, sym.src == frontier.id)
+            sym.join(f, sym.src == f.id)
             .select(sym.dst.alias("id"), (F.col("key") + big).alias("key"))
             .filter(F.col("key") < F.lit(cap_key))
             .withColumn("old", F.lit(None).cast("long"))
         )
         st = state.select("id", "key", F.col("key").alias("old"))
-        full = (
+        # cache + zero-job rebind per round, real pin every 3rd (r6, was
+        # an eager checkpoint job EVERY round): the fixed-radius loop has
+        # no convergence probes, so the whole wave executes lazily in the
+        # periodic pin jobs.
+        full = chain.advance(
             st.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("key").alias("key"), F.min("old").alias("old"))
-        ).transform(pin)
+        )
         state = full.select("id", "key")
         frontier = full.filter(
             F.col("old").isNull() | (F.col("key") < F.col("old"))
         ).select("id", "key")
-    return state.select(
-        "id",
-        (F.col("key") % big).alias("label"),
-        # exact integer unpack (shiftright, not double-division floor)
-        F.shiftright(F.col("key"), 32).cast("long").alias("cost"),
+    return chain.seal(
+        state.select(
+            "id",
+            (F.col("key") % big).alias("label"),
+            # exact integer unpack (shiftright, not double-division floor)
+            F.shiftright(F.col("key"), 32).cast("long").alias("cost"),
+        )
     )
 
 
@@ -660,57 +856,80 @@ def bfs(
     n = vertices.count() if vertices is not None else None
     frontier_size, visited_size = 1, 1
     d = 0
-    while d < max_depth:
-        d += 1
-        # Pull pays off only when the unvisited side is smaller than the
-        # frontier (its edge work is ~unvisited in-degree vs frontier
-        # expansion) — the reference's m_frontier vs m_unvisited test
-        # (bfs.h:160-162) with counts as the degree proxy.
-        unvisited_size = (n - visited_size) if n is not None else None
-        dense = (
-            n is not None
-            and frontier_size > dense_threshold * n
-            and 0 < unvisited_size < frontier_size
-        )
-        if dense:
-            unvisited = vertices.join(visited.select("id"), "id", "left_anti")
-            nxt = (
-                sym.join(
-                    unvisited.select(F.col("id").alias("dst")), "dst", "left_semi"
+    live_caches: list[DataFrame] = []
+    # r6 job diet: per level ONE count job on the cached frontier (was:
+    # eager-checkpoint nxt + count + eager-checkpoint visited = 3 jobs).
+    # The visited set stays a lazy union of fast_pin'd frontier leaves,
+    # re-pinned every 3 levels to bound RDD lineage and release caches.
+    visited_pin_every = max(1, 3 * max(1, checkpoint_every))
+    try:
+        while d < max_depth:
+            d += 1
+            # Pull pays off only when the unvisited side is smaller than the
+            # frontier (its edge work is ~unvisited in-degree vs frontier
+            # expansion) — the reference's m_frontier vs m_unvisited test
+            # (bfs.h:160-162) with counts as the degree proxy.
+            unvisited_size = (n - visited_size) if n is not None else None
+            dense = (
+                n is not None
+                and frontier_size > dense_threshold * n
+                and 0 < unvisited_size < frontier_size
+            )
+            if dense:
+                unvisited = vertices.join(visited.select("id"), "id", "left_anti")
+                nxt = (
+                    sym.join(
+                        unvisited.select(F.col("id").alias("dst")), "dst", "left_semi"
+                    )
+                    .join(
+                        frontier.select(F.col("id").alias("src")), "src", "left_semi"
+                    )
+                    .select(F.col("dst").alias("id"))
+                    .distinct()
+                    .withColumn("dist", F.lit(d))
                 )
-                .join(frontier.select(F.col("id").alias("src")), "src", "left_semi")
-                .select(F.col("dst").alias("id"))
-                .distinct()
-                .withColumn("dist", F.lit(d))
-            )
-        else:
-            nxt = (
-                sym.join(frontier, sym.src == frontier.id)
-                .select(sym.dst.alias("id"))
-                .distinct()
-                .join(visited, "id", "left_anti")
-                .withColumn("dist", F.lit(d))
-            )
-        nxt = _truncate(nxt, d, checkpoint_every)
-        if n is not None:
-            # dense switch needs exact sizes
-            frontier_size = nxt.count()
-            empty = frontier_size == 0
-        else:
-            # pure-push path: a limit-1 probe beats a full frontier scan;
-            # the frontier size is genuinely unknown here, so the callback
-            # receives None (not a sentinel; ADVICE r3)
-            frontier_size = None
-            empty = nxt.isEmpty()
-        if on_superstep:
-            on_superstep(d, "pull" if dense else "push", frontier_size)
-        if empty:
-            break
-        if frontier_size is not None:
-            visited_size += frontier_size
-        visited = _truncate(visited.unionByName(nxt), d, checkpoint_every)
-        frontier = nxt
-    return visited
+            else:
+                f = _hint_state(frontier)
+                nxt = (
+                    sym.join(f, sym.src == f.id)
+                    .select(sym.dst.alias("id"))
+                    .distinct()
+                    .join(visited, "id", "left_anti")
+                    .withColumn("dist", F.lit(d))
+                )
+            # rebind-then-cache: one Catalyst compile per level (see
+            # _StateChain.advance)
+            nxt = fast_pin(nxt).cache()
+            live_caches.append(nxt)
+            if n is not None:
+                # dense switch needs exact sizes; the count also
+                # materializes the cache — one job per level
+                frontier_size = nxt.count()
+                empty = frontier_size == 0
+            else:
+                # pure-push path: a limit-1 probe beats a full frontier scan;
+                # the frontier size is genuinely unknown here, so the callback
+                # receives None (not a sentinel; ADVICE r3)
+                frontier_size = None
+                empty = nxt.isEmpty()
+            if on_superstep:
+                on_superstep(d, "pull" if dense else "push", frontier_size)
+            if empty:
+                break
+            if frontier_size is not None:
+                visited_size += frontier_size
+            visited = visited.unionByName(nxt)
+            if d % visited_pin_every == 0:
+                visited = pin(visited)
+                for c in live_caches:
+                    c.unpersist()
+                live_caches = []
+            frontier = nxt
+        # pin the result before the frontier caches are released
+        return pin(visited)
+    finally:
+        for c in live_caches:
+            c.unpersist()
 
 
 def sssp(
@@ -749,10 +968,12 @@ def sssp(
     # re-delivery — dist+w candidates from an unchanged u are already
     # folded into every neighbor's min. Empty frontier ⟺ fixpoint.
     frontier = dist
+    chain = _StateChain(max(2, checkpoint_every))
     converged = False
     for it in range(max_iterations):
+        f = _hint_state(frontier)
         relaxed = (
-            wedges.join(frontier, wedges.src == frontier.id)
+            wedges.join(f, wedges.src == f.id)
             .select(
                 wedges.dst.alias("id"),
                 (F.col("dist") + F.col("w")).alias("dist"),
@@ -766,16 +987,21 @@ def sssp(
             .groupBy("id")
             .agg(F.min("dist").alias("dist"), F.min("old").alias("old"))
         )
-        new = _truncate(new, it, checkpoint_every)
-        # newly reached (old is null) or improved (dist < old) → frontier
-        frontier = new.filter(
-            F.col("old").isNull() | (F.col("dist") < F.col("old"))
-        ).select("id", "dist")
-        converged = frontier.isEmpty()
+        new = chain.advance(new)
+        # newly reached (old is null) or improved (dist < old) → frontier.
+        # ONE aggregate job per superstep (r6, was eager checkpoint +
+        # isEmpty probe): materializes the generation and counts senders.
+        changed = F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        n_frontier = (
+            new.agg(F.sum(F.when(changed, 1)).alias("nf")).first()["nf"] or 0
+        )
+        frontier = new.filter(changed).select("id", "dist")
+        converged = n_frontier == 0
         dist = new.select("id", "dist")
         if converged:
             break
     if not converged:
+        chain.close()
         # Raise-don't-truncate (the CC/min-label policy): frozen tentative
         # distances are silently wrong answers, not approximations.
         raise RuntimeError(
@@ -783,7 +1009,7 @@ def sssp(
             "supersteps; raise max_iterations (long-diameter or "
             "small-weight graph)"
         )
-    return dist
+    return chain.seal(dist)
 
 
 def sssp_delta_stepping(
@@ -821,30 +1047,28 @@ def sssp_delta_stepping(
     # folded into every neighbor's min.
     dist = dist.withColumn("rat", F.lit(None).cast(wtype))
     threshold = delta
+    chain = _StateChain(3)
     converged = False
+    unsettled = F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
     for _ in range(max_iterations):
-        in_frontier = (F.col("dist") < threshold) & (
-            F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
-        )
-        frontier = dist.filter(in_frontier).select("id", "dist")
-        if frontier.isEmpty():
-            # Jump the threshold to the next NON-EMPTY bucket in one
-            # aggregate job instead of burning an iteration per empty
-            # delta-bucket (delta=1/cap=1000 would eat 1000 iterations
-            # in no-op advances). The schedule changes, the result
-            # cannot: bucket order only affects which rounds relax what.
-            m = (
-                dist.filter(
-                    F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
-                )
-                .agg(F.min("dist"))
-                .first()[0]
-            )
-            if m is None:
+        in_frontier = (F.col("dist") < threshold) & unsettled
+        # ONE fused probe per round (r6, was isEmpty + a separate min-agg
+        # job on empty buckets + an eager checkpoint): materializes the
+        # latest generation, counts the active frontier, AND returns the
+        # min unsettled distance so an empty delta-bucket jumps the
+        # threshold with no extra job. The schedule changes, the result
+        # cannot: bucket order only affects which rounds relax what.
+        row = dist.agg(
+            F.sum(F.when(in_frontier, 1)).alias("nf"),
+            F.min(F.when(unsettled, F.col("dist"))).alias("mu"),
+        ).first()
+        if not (row["nf"] or 0):
+            if row["mu"] is None:
                 converged = True
                 break
-            threshold = (int(m // delta) + 1) * delta
+            threshold = (int(row["mu"] // delta) + 1) * delta
             continue
+        frontier = _hint_state(dist.filter(in_frontier).select("id", "dist"))
         relaxed = (
             wedges.join(frontier, wedges.src == frontier.id)
             .select(wedges.dst.alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
@@ -855,25 +1079,24 @@ def sssp_delta_stepping(
             "id", "dist",
             F.when(in_frontier, F.col("dist")).otherwise(F.col("rat")).alias("rat"),
         )
-        dist = (
+        dist = chain.advance(
             st.unionByName(relaxed)
             .groupBy("id")
             # each id has exactly one state row, so min(rat) (nulls
             # skipped) is exactly that row's marker
             .agg(F.min("dist").alias("dist"), F.min("rat").alias("rat"))
-        ).transform(pin)
+        )
     if not converged:
         # probe-before-raise (ADVICE r3 boundary rule): the budget may
         # have run out exactly at the fixpoint
-        converged = dist.filter(
-            F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
-        ).isEmpty()
+        converged = dist.filter(unsettled).isEmpty()
     if not converged:
+        chain.close()
         raise RuntimeError(
             f"sssp_delta_stepping: unsettled vertices remain after "
             f"{max_iterations} rounds; raise max_iterations"
         )
-    return dist.select("id", "dist")
+    return chain.seal(dist.select("id", "dist"))
 
 
 def sssp_rho_stepping(
@@ -914,6 +1137,7 @@ def sssp_rho_stepping(
     # inner round.
     dist = dist.withColumn("rat", F.lit(None).cast(wtype))
     budget = max_iterations  # bounds total supersteps across all buckets
+    chain = _StateChain(3)
     converged = False
     while budget > 0:
         unsettled = (
@@ -930,9 +1154,16 @@ def sssp_rho_stepping(
             in_frontier = (F.col("dist") <= top) & (
                 F.col("rat").isNull() | (F.col("dist") < F.col("rat"))
             )
-            frontier = dist.filter(in_frontier).select("id", "dist")
-            if frontier.isEmpty():
+            # ONE fused probe per inner round (r6, was isEmpty + an eager
+            # checkpoint): materializes the latest generation and counts
+            # the active frontier.
+            nf = (
+                dist.agg(F.sum(F.when(in_frontier, 1)).alias("nf")).first()["nf"]
+                or 0
+            )
+            if not nf:
                 break
+            frontier = _hint_state(dist.filter(in_frontier).select("id", "dist"))
             relaxed = (
                 wedges.join(frontier, wedges.src == frontier.id)
                 .select(
@@ -947,13 +1178,13 @@ def sssp_rho_stepping(
                 .otherwise(F.col("rat"))
                 .alias("rat"),
             )
-            dist = (
+            dist = chain.advance(
                 st.unionByName(relaxed)
                 .groupBy("id")
                 # one state row per id → min(rat) (nulls skipped) is
                 # exactly that row's marker
                 .agg(F.min("dist").alias("dist"), F.min("rat").alias("rat"))
-            ).transform(pin)
+            )
         settled_upto = top
         if settled_upto >= cap:
             converged = True
@@ -968,11 +1199,12 @@ def sssp_rho_stepping(
         )
         converged = rem.isEmpty()
     if not converged:
+        chain.close()
         raise RuntimeError(
             f"sssp_rho_stepping: unsettled vertices remain after "
             f"{max_iterations} supersteps; raise max_iterations"
         )
-    return dist.select("id", "dist")
+    return chain.seal(dist.select("id", "dist"))
 
 
 # ---------------------------------------------------------------------------
@@ -987,6 +1219,22 @@ def triangle_count(sym: DataFrame) -> DataFrame:
     from low-degree endpoints — the standard mitigation for power-law hubs
     (a hub's O(d²) wedges are never enumerated from the hub side).
     """
+    # Spread the edge table UP to cluster parallelism when the ingest
+    # layout has fewer partitions (r6, guide §2.5 input side): unlike the
+    # superstep kernels (tiny per-round state, exchange-elision is what
+    # matters), triangle counting is compute-bound — the orientation and
+    # O(Σdeg²) wedge phases are broadcast-join-only (narrow), so their
+    # parallelism is capped by sym's partition count, and the byte-derived
+    # ingest layout at small tiers is 2 partitions. One round-robin
+    # exchange of the O(m) pairs buys #cores-way parallelism for the
+    # whole kernel (measured 1.5 s -> 0.8 s at sf0.1). At scale sym
+    # already has more partitions than cores and the repartition is
+    # skipped.
+    sc = sym.sparkSession.sparkContext
+    if sym.rdd.getNumPartitions() < sc.defaultParallelism:
+        # keep the src hash layout: the degree aggregate then still needs
+        # no re-exchange (round-robin measured ~2x worse here)
+        sym = sym.repartition(sc.defaultParallelism, "src")
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "v")
     e = (
         sym.join(deg.alias("ds"), F.col("src") == F.col("ds.v"))

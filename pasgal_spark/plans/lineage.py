@@ -41,7 +41,41 @@ _log = logging.getLogger(__name__)
 _warned_fallback = False
 
 
-def pin(df: DataFrame) -> DataFrame:
+def fast_pin(df: DataFrame) -> DataFrame:
+    """ZERO-JOB logical-lineage truncation (r6): rebuild ``df`` as a
+    ``LogicalRDD`` leaf over its (lazily) compiled RDD.
+
+    Why it exists: a superstep that only ``cache()``s its generations
+    keeps the full logical tree, and because each generation references
+    the previous one twice (state row + message join), Catalyst's
+    canonicalization / cache-lookup walks expand the shared DAG into a
+    tree — measured 4x cost growth PER GENERATION in round 6 (54 s for
+    superstep 8 of a trivial 157k-edge hash-min loop). ``pin`` fixes that
+    with an eager localCheckpoint, but that is one extra JOB per
+    generation. ``fast_pin`` gets the O(1) logical plan without the job:
+    ``queryExecution.toRdd()`` compiles the plan to its RDD (no action),
+    and ``internalCreateDataFrame`` wraps it as a stats-fresh LogicalRDD
+    leaf — the same construction as ``pin``'s fallback path, minus the
+    materialization.
+
+    Contract: call it on a *cached* DataFrame. The RDD still reads (and
+    on first use populates) the cache, so referencing the result twice
+    costs one computation; the RDD lineage keeps growing until a real
+    ``pin`` truncates it, so iterative kernels still pin every
+    ``checkpoint_every`` generations (the _StateChain cadence).
+    """
+    try:
+        jdf = df._jdf  # type: ignore[attr-defined]
+        jrdd = jdf.queryExecution().toRdd()
+        jschema = jdf.schema()
+        jss = df.sparkSession._jsparkSession  # type: ignore[attr-defined]
+        fresh = jss.internalCreateDataFrame(jrdd, jschema, False)
+        return DataFrame(fresh, df.sparkSession)
+    except Exception:  # pragma: no cover - non-classic sessions (Connect)
+        return df
+
+
+def pin(df: DataFrame, *, hash_cols: tuple[str, ...] | None = None) -> DataFrame:
     """Eagerly materialize ``df``, truncate lineage, and reset plan stats.
 
     The rebuilt ``LogicalRDD`` is a case-class ``copy`` of the checkpoint's
@@ -69,8 +103,32 @@ def pin(df: DataFrame) -> DataFrame:
         jvm = sess._jvm  # type: ignore[attr-defined]
         lr = ck._jdf.queryExecution().analyzed()  # type: ignore[attr-defined]
         none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        partitioning = lr.outputPartitioning()
+        ordering = lr.outputOrdering()
+        if hash_cols:
+            # Declare HashPartitioning over the LEAF'S OWN output attrs
+            # (r6). The checkpoint's captured partitioning is useless for
+            # join-exchange elision in practice: under AQE it is
+            # UnknownPartitioning, and even when captured its expressions
+            # reference the EXECUTED plan's attribute ids, which do not
+            # match the rebuilt leaf's output ids — so EnsureRequirements
+            # re-exchanges the pinned table at every superstep join (the
+            # round-6 explain gate caught exactly this). The caller
+            # asserts the rows really are hash-partitioned by these
+            # columns (a preceding repartition(N, cols)); hash
+            # partitioning is a pure function of the VALUES, so the
+            # declaration stays valid across the attr-id rewrite. N is
+            # read from the checkpointed RDD itself.
+            out = lr.output()
+            by_name = {out.apply(i).name(): out.apply(i) for i in range(out.size())}
+            to_seq = jvm.org.apache.spark.api.python.PythonUtils.toSeq
+            partitioning = jvm.org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+                to_seq([by_name[c] for c in hash_cols]),
+                lr.rdd().getNumPartitions(),
+            )
+            ordering = to_seq([])
         fresh = lr.copy(
-            lr.output(), lr.rdd(), lr.outputPartitioning(), lr.outputOrdering(),
+            lr.output(), lr.rdd(), partitioning, ordering,
             lr.isStreaming(), lr.stream(), sess._jsparkSession, none, none,
         )
         jds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
@@ -78,6 +136,8 @@ def pin(df: DataFrame) -> DataFrame:
         )
         return DataFrame(jds, sess)
     except Exception:
+        if hash_cols:
+            raise  # the caller relies on the declared layout — fail loud
         pass
     try:
         # Older fallback: rebuild over the checkpointed RDD (stats reset,

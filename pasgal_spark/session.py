@@ -40,6 +40,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Size post-shuffle partitions by BYTES, not by core count (guide
+        # §2.2): with parallelismFirst=true (the default) AQE keeps
+        # ~defaultParallelism partitions even for KB-sized superstep state,
+        # so every iterative kernel pays 32 near-empty reduce tasks per
+        # exchange. parallelismFirst=false makes AQE honor the advisory
+        # size — tiny state coalesces to one task, TB shuffles still get
+        # thousands of partitions. Advisory is env-overridable for cluster
+        # tiers (64m local default; 256m is the guide's big-ETL figure).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_ADVISORY_PARTITION_SIZE", "64m"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas UDF / toPandas paths (vectorized, no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
