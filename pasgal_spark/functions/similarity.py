@@ -263,13 +263,6 @@ def bucketed_ann(
     eb = e.mapInPandas(
         _buckets_with_vec, "vec_id long, bucket long, e array<double>"
     )
-    if max_bucket is not None:
-        wspec = Window.partitionBy("bucket")
-        eb = (
-            eb.withColumn("_n", F.count(F.lit(1)).over(wspec))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
 
     # Per-bucket vectorized kernel (applyInPandas): a vector's every
     # candidate lives in its own bucket, so the within-bucket top-k IS the
@@ -288,7 +281,13 @@ def bucketed_ann(
 
     def _topk(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
-        if n < 2:
+        # The skew cap lives IN the grouped kernel (r6): the groupBy
+        # already delivers each bucket whole to one task, so an over-cap
+        # bucket simply contributes no pairs — identical to the old
+        # pre-filter (and to the oracle's HAVING cap) without a separate
+        # counting pass over the payload. The capped bucket's rows still
+        # shuffle once, but never pay the size² Gram.
+        if n < 2 or (max_bucket is not None and n > max_bucket):
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "s": []}
             ).astype({"query_id": "int64", "neighbor_id": "int64", "s": "float64"})

@@ -1246,6 +1246,14 @@ def triangle_count(sym: DataFrame) -> DataFrame:
         .select("src", "dst")
     )
     e.cache()
+    # Materialize BEFORE the wedge join is planned (r6): the cached
+    # oriented-edge table then carries REAL size statistics, so Catalyst
+    # broadcasts it only when it is genuinely under the threshold and
+    # otherwise picks a parallel shuffled-hash join (preferSortMergeJoin
+    # is off in the session defaults). The un-materialized estimate is a
+    # join-product guess that chose broadcast for a 1.5M-row build at the
+    # 10x tier (9.5 s vs 3.9 s).
+    e.count()
     try:
         wedge = (
             e.alias("a")

@@ -57,8 +57,16 @@ def get_spark(
         # Arrow for pandas UDF / toPandas paths (vectorized, no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        # Iterative kernels re-read small state DataFrames many times.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Broadcast only the genuinely small side (r6: back to the 10 MB
+        # default — the old 32 MB widening existed for iterative state
+        # joins, which now pick their strategy explicitly via the
+        # SHUFFLE_HASH hint; at 32 MB Catalyst broadcast a 1.5M-row
+        # oriented-edge table twice per triangle count, 9.5 s vs 3.9 s
+        # shuffled-hash at the 10x tier) and allow shuffled hash join
+        # when a side fits a per-partition hash map (guide §3.1/§9 —
+        # sort-merge remains the automatic fallback past that).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Stats guard for iterative plans: relations without statistics
         # (localCheckpoint LogicalRDDs — every superstep state) default to
         # sizeInBytes = Long.MaxValue (2^63). Catalyst's size-only stats

@@ -63,21 +63,37 @@ def main() -> None:
     # -- pagerank: result + one superstep (state join + agg + delta carry) --
     pr = kernels.pagerank(g.edges, g.vertices, tol=1e-6)
     add("pagerank_1e6", "result", pr)
+    # superstep mirror: tol-mode fused shape (see kernels._pagerank_tol) —
+    # state row rides the message-combine aggregate; dangling mass is a
+    # literal; state side carries the join-strategy hint.
+    from pasgal_spark.graph.kernels import _hint_state
+
     state = g.vertices.select(
         "id", F.lit(1).alias("out_deg"), F.lit(1.0).alias("rank")
     ).transform(pin)
-    contribs = g.edges.join(state, g.edges.src == state.id).select(
-        g.edges.dst.alias("id"), (F.col("rank") / F.col("out_deg")).alias("c")
+    s = _hint_state(state)
+    msgs = g.edges.join(s, g.edges.src == s.id).select(
+        g.edges.dst.alias("id"),
+        F.lit(None).cast("long").alias("out_deg"),
+        F.lit(None).cast("double").alias("prev_rank"),
+        (F.col("rank") / F.col("out_deg")).alias("c"),
     )
-    sums = contribs.groupBy("id").agg(F.sum("c").alias("contrib"))
-    prev = state.select("id", "out_deg", F.col("rank").alias("prev_rank"))
-    new_state = prev.join(sums, "id", "left").select(
-        "id",
-        "out_deg",
-        (F.lit(0.1) + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-            "rank"
-        ),
-        "prev_rank",
+    st = state.select(
+        "id", "out_deg", F.col("rank").alias("prev_rank"),
+        F.lit(None).cast("double").alias("c"),
+    )
+    new_rank = F.lit(0.1) + F.lit(0.85) * (
+        F.coalesce(F.sum("c"), F.lit(0.0)) + F.lit(0.0)
+    )
+    new_state = (
+        st.unionByName(msgs)
+        .groupBy("id")
+        .agg(
+            F.min("out_deg").alias("out_deg"),
+            new_rank.alias("rank"),
+            F.min("prev_rank").alias("prev_rank"),
+        )
+        .filter(F.col("prev_rank").isNotNull())
     )
     add("pagerank_1e6", "superstep", new_state)
 
