@@ -196,7 +196,10 @@ def boruvka_forest_cc(
         if not phase1_engaged:
             # labels are still the identity (comp == id): the two
             # relabeling joins compile away — one scan of the cached edge
-            # table instead of two shuffled joins (r6)
+            # table instead of two shuffled joins (r6). Precondition
+            # (held by every caller): edge endpoints ⊆ vertices — the
+            # join path would silently drop unknown endpoints, this one
+            # keeps them.
             return sym.filter(F.col("src") != F.col("dst")).select(
                 F.col("src").alias("ca"), F.col("dst").alias("cb"), key.alias("key")
             )

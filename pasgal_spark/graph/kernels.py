@@ -40,7 +40,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pasgal_spark.plans.lineage import fast_pin, pin
@@ -594,6 +594,10 @@ def cc_phase2_union_find(
     shuffled joins + aggregate).
     """
     if identity_labels:
+        # precondition (callers assert it by construction): every edge
+        # endpoint appears in ``labels`` — the join path below would
+        # silently drop edges with unknown endpoints, the fast path keeps
+        # them, so they must not exist
         residual = (
             sym.filter(F.col("src") != F.col("dst"))
             .select(
