@@ -140,10 +140,7 @@ def _min_label_to_fixpoint(
     kernels.label_propagation): only vertices whose label changed last
     round send; an empty frontier is a true fixpoint (monotone min).
     """
-    frontier = labels  # round 0: every vertex is a sender
-    chain = _StateChain(3)
-    converged = False
-    for it in range(max_iterations):
+    def step(labels: DataFrame, frontier: DataFrame) -> DataFrame:
         msgs = (
             edges.join(frontier, edges.src == frontier.id)
             .select(
@@ -153,22 +150,34 @@ def _min_label_to_fixpoint(
             )
         )
         st = labels.select("id", "lbl", F.col("lbl").alias("old"))
-        new = chain.advance(
+        return (
             st.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
         )
-        # ONE fused aggregate job per round (r6, was eager checkpoint +
-        # isEmpty): materializes the generation and counts senders.
-        changed = F.col("old").isNull() | (F.col("lbl") < F.col("old"))
-        n_frontier = (
-            new.agg(F.sum(F.when(changed, 1)).alias("nf")).first()["nf"] or 0
+
+    changed = F.col("old").isNull() | (F.col("lbl") < F.col("old"))
+    chain = _StateChain(3)
+    # round 0: every vertex is a sender
+    cur = chain.advance(step(labels, labels))
+    cur_pinned = chain.last_pinned
+    converged = False
+    for _ in range(max_iterations):
+        # ONE fused aggregate job per round (r6): materializes the
+        # generation and counts senders — overlapped with the next
+        # round's Catalyst compile (kernels._compile_overlapped; the next
+        # plan depends only on this generation's leaf).
+        row, nxt = chain.advance_overlapped(
+            lambda: step(
+                cur.select("id", "lbl"),
+                cur.filter(changed).select("id", "lbl"),
+            ),
+            lambda: cur.agg(F.sum(F.when(changed, 1)).alias("nf")).first(),
         )
-        frontier = new.filter(changed).select("id", "lbl")
-        labels = new.select("id", "lbl")
-        converged = n_frontier == 0
+        converged = (row["nf"] or 0) == 0
         if converged:
             break
+        cur, cur_pinned = nxt, chain.last_pinned
     if not converged:
         chain.close()
         # Raise-don't-truncate (same policy as reachability above):
@@ -178,7 +187,7 @@ def _min_label_to_fixpoint(
             f"{max_iterations} supersteps; raise max_iterations "
             "(long-diameter graph)"
         )
-    return chain.seal(labels)
+    return chain.seal(cur.select("id", "lbl"), pinned=cur_pinned)
 
 
 def scc(

@@ -38,6 +38,7 @@ pasgal_spark.plans.checkpoints for the resumable variant).
 from __future__ import annotations
 
 import os
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -71,6 +72,41 @@ def _hint_state(df: DataFrame) -> DataFrame:
     if STATE_JOIN_HINT in ("shuffle_hash", "merge"):
         return df.hint(STATE_JOIN_HINT)
     return df
+
+
+def _compile_overlapped(action, compile_thunk):
+    """Run ``compile_thunk`` in a background thread while ``action`` runs
+    on the calling thread; returns ``(action_result, compile_result)``.
+
+    The r6 follow-up to the job-diet work (guide §1.2): after the fusion
+    passes, a superstep's wall is ONE Catalyst compile (fast_pin's
+    ``toRdd()``, measured 0.18-0.4 s at sf0.1) plus ONE probe job
+    (0.12-0.35 s), serialized. But the compile of superstep k+1's plan
+    depends only on superstep k's *leaf* — which exists before the probe
+    runs — not on the probe's result, so the two legs can run
+    concurrently (measured: 8 PageRank supersteps 2.8 s -> 1.9 s).
+
+    Contract: ``compile_thunk`` must be a pure driver-side plan compile
+    (fast_pin + cache registration) that launches NO jobs — all jobs stay
+    on the calling thread, preserving the bench's cancellable job-group
+    protocol. Exceptions from either leg propagate."""
+    box: dict = {}
+
+    def _bg() -> None:
+        try:
+            box["v"] = compile_thunk()
+        except BaseException as e:  # noqa: BLE001 - re-raised on the caller
+            box["e"] = e
+
+    th = threading.Thread(target=_bg, daemon=True)
+    th.start()
+    try:
+        res = action()
+    finally:
+        th.join()
+    if "e" in box:
+        raise box["e"]
+    return res, box["v"]
 
 
 class _StateChain:
@@ -117,14 +153,51 @@ class _StateChain:
             self.last_pinned = False
         return out
 
-    def seal(self, df: DataFrame) -> DataFrame:
+    def advance_overlapped(self, build, probe):
+        """``advance(build())`` overlapped with ``probe()`` — the PREVIOUS
+        generation's materializing action (see ``_compile_overlapped``).
+        ``build`` is a thunk returning the next generation's PLAN: both
+        the py4j DataFrame construction (~0.1 s/superstep) and the
+        Catalyst compile ride the background thread. Returns
+        ``(probe_result, new_generation)``.
+
+        On pin generations the real pin launches a localCheckpoint job,
+        which must (a) stay on the calling thread (bench job-group
+        contract) and (b) run after the probe has materialized the
+        previous generation's cache — so those run sequentially; every
+        other generation gets the full build/compile vs probe overlap."""
+        self._gen += 1
+        if self._gen % self.every == 0:
+            row = probe()
+            out = build().transform(pin)
+            # Keep the PROBED (previous) generation's cache alive: unlike
+            # ``advance``, the caller may still break with it (the new
+            # generation here is speculative) and seal reads it.
+            for c in self._live[:-1]:
+                c.unpersist()
+            self._live = self._live[-1:]
+            self.last_pinned = True
+            return row, out
+        row, out = _compile_overlapped(probe, lambda: fast_pin(build()).cache())
+        self._live.append(out)
+        self.last_pinned = False
+        return row, out
+
+    def seal(self, df: DataFrame, *, pinned: bool | None = None) -> DataFrame:
         """Pin ``df`` (derived from the last generation) unless that
         generation is already checkpoint-backed, then release every live
         cache. Callers MUST route their return value through this (or pin
         it themselves) before the chain is closed — a cache()-backed final
         generation would otherwise recompute its whole lineage on first
-        use after ``close()`` unpersists it."""
-        if not self.last_pinned:
+        use after ``close()`` unpersists it.
+
+        ``pinned``: overlapped loops break with the generation BEFORE the
+        (speculative) last one, so ``last_pinned`` describes the wrong
+        generation for them — they pass the sealed generation's own
+        pinned-ness explicitly."""
+        if pinned is None:
+            pinned = self.last_pinned
+        if not pinned:
             df = df.transform(pin)
         self.close()
         return df
@@ -208,8 +281,7 @@ def pagerank(
         return _pagerank_tol(
             edges, state, chain,
             n=n, damping=damping, tol=tol, iterations=iterations,
-            # dangling term = (Σ rank over dangling)/n; initial ranks are 1/n
-            dangling_mass=(n_dangling * (1.0 / n)) / n if has_dangling else None,
+            has_dangling=has_dangling,
             on_superstep=on_superstep,
         )
 
@@ -277,13 +349,13 @@ def _pagerank_tol(
     damping: float,
     tol: float,
     iterations: int | None,
-    dangling_mass: float | None,
+    has_dangling: bool,
     on_superstep: Callable[[int, float], None] | None,
 ) -> DataFrame:
-    """Convergence-mode PageRank superstep loop (r6 fused shape).
+    """Convergence-mode PageRank superstep loop (r6 fused + overlapped).
 
-    Two structural changes vs the iteration-mode loop, both per guide
-    §2.3/§2.4 (fewer exchanges) and §1.2 (fewer driver actions):
+    Structural changes vs the iteration-mode loop, per guide §2.3/§2.4
+    (fewer exchanges) and §1.2 (fewer, overlapped driver actions):
 
     - **One exchange per superstep.** The state row rides the SAME
       union+groupBy aggregate as the messages (the CC/LPA message-combine
@@ -292,74 +364,89 @@ def _pagerank_tol(
       sides), this one pays 1. Ids absent from the state (edge targets
       outside ``vertices``) are dropped by the ``prev_rank IS NOT NULL``
       filter — exactly the old left-join semantics.
-    - **One job per superstep.** The new state is cache()-registered
-      (pinned every ``chain.every`` generations) and ONE aggregate job
-      both materializes it and returns (convergence delta, dangling
-      mass). The dangling mass then enters the next superstep as a plain
-      float literal — no per-superstep broadcast crossJoin subtree. The
-      old shape paid 2 jobs (eager checkpoint + delta agg) plus a
-      dangling scalar-agg subquery per superstep.
+    - **One job per superstep, overlapped with the next compile.** The
+      new state is cache()-registered (pinned every ``chain.every``
+      generations) and ONE aggregate job both materializes it and returns
+      the convergence delta. Because the superstep plan is
+      DATA-INDEPENDENT — the dangling mass enters as a broadcast scalar
+      aggregate over the previous state, not as a probe-derived literal —
+      superstep k+1's Catalyst compile runs in a background thread while
+      superstep k's probe job executes (``advance_overlapped``): the two
+      legs each cost 0.15-0.4 s at small tiers and used to serialize.
 
-    Results: identical per-vertex rank recurrence; double sums may differ
-    in the last ulp from the join shape (same class as the Spark↔DuckDB
-    fold difference the 6-decimal rounding already absorbs; pinned by the
-    power-iteration allclose property test).
+    Results: identical per-vertex rank recurrence (the dangling term is
+    ``Σ rank/ n`` over the same rows either way); double sums may differ
+    in the last ulp from the join/literal shapes (same class as the
+    Spark↔DuckDB fold difference the 6-decimal rounding already absorbs;
+    pinned by the power-iteration allclose property test).
     """
-    it = 0
-    dm = dangling_mass  # None = graph has no dangling vertices
-    while True:
-        dangling_term = F.lit(dm) if dm is not None else F.lit(0.0)
-        st = state.select(
+
+    def build(cur: DataFrame) -> DataFrame:
+        st = cur.select(
             "id",
             "out_deg",
             F.col("rank").alias("prev_rank"),
             F.lit(None).cast("double").alias("c"),
         )
-        s = _hint_state(state)
+        s = _hint_state(cur)
         msgs = edges.join(s, edges.src == s.id).select(
             edges.dst.alias("id"),
             F.lit(None).cast("long").alias("out_deg"),
             F.lit(None).cast("double").alias("prev_rank"),
             (F.col("rank") / F.col("out_deg")).alias("c"),
         )
-        new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
-            F.coalesce(F.sum("c"), F.lit(0.0)) + dangling_term
-        )
-        new_state = (
+        agg = (
             st.unionByName(msgs)
             .groupBy("id")
             .agg(
                 F.min("out_deg").alias("out_deg"),
-                new_rank.alias("rank"),
+                F.coalesce(F.sum("c"), F.lit(0.0)).alias("contrib"),
                 F.min("prev_rank").alias("prev_rank"),
             )
             .filter(F.col("prev_rank").isNotNull())
         )
-        new_state = chain.advance(new_state)
-
-        it += 1
-        # ONE aggregate job per superstep: materializes the cached state
-        # AND returns the convergence delta + next superstep's dangling
-        # mass (as a driver float, so the next plan carries it as a
-        # literal instead of a broadcast scalar subquery).
-        aggs = [F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")]
-        if dm is not None:
-            aggs.append(
-                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))).alias("dmass")
+        if has_dangling:
+            # 1-row broadcast relation; joins into the same lazy plan, so
+            # the plan needs nothing from the previous probe (the price of
+            # a literal was a compile/probe data dependency).
+            dm = cur.filter("out_deg = 0").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
-        row = new_state.agg(*aggs).first()
+            new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+                F.col("contrib") + F.col("_dm") / F.lit(float(n))
+            )
+            return agg.crossJoin(F.broadcast(dm)).select(
+                "id", "out_deg", new_rank.alias("rank"), "prev_rank"
+            )
+        new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("contrib")
+        return agg.select("id", "out_deg", new_rank.alias("rank"), "prev_rank")
+
+    cur = chain.advance(build(state))
+    cur_pinned = chain.last_pinned
+    it = 0
+    while True:
+        it += 1
+        # Probe superstep ``it`` (materializes its cache, returns the
+        # convergence delta) while speculatively compiling superstep
+        # ``it+1`` against its leaf. On the converging superstep the
+        # speculative generation is simply never executed (its cache is
+        # registered but unmaterialized; seal releases it).
+        row, nxt = chain.advance_overlapped(
+            lambda: build(cur),
+            lambda: cur.agg(
+                F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")
+            ).first(),
+        )
         delta = row["d"]
-        if dm is not None:
-            dm = (row["dmass"] or 0.0) / n
         if on_superstep:
             on_superstep(it, delta)
-        state = new_state
         if delta < tol or (iterations and it >= iterations):
             break
+        cur, cur_pinned = nxt, chain.last_pinned
 
     # The final generation may be cache()-registered (not pinned): seal
     # pins the result BEFORE the generation caches are released.
-    return chain.seal(state.select("id", "rank"))
+    return chain.seal(cur.select("id", "rank"), pinned=cur_pinned)
 
 
 # ---------------------------------------------------------------------------
@@ -393,11 +480,7 @@ def connected_components(
     state (it is O(|V|), not O(|E|), and jump targets need not be in the
     frontier).
     """
-    labels = vertices.select("id", vertices.id.alias("component"))
-    frontier = labels  # round 0: every vertex is a sender
-    chain = _StateChain(checkpoint_every)
-    converged = False
-    for it in range(max_iterations):
+    def step(labels: DataFrame, frontier: DataFrame) -> DataFrame:
         f = _hint_state(frontier)
         msgs = (
             sym.join(f, sym.src == f.id)
@@ -425,26 +508,41 @@ def connected_components(
                     "old",
                 )
             )
-        new = chain.advance(new)
-        # ONE aggregate job per round (r6, was eager-checkpoint + isEmpty
-        # probe): materializes the generation AND counts the next
-        # frontier. Zero frontier ⟺ no label changed ⟺ fixpoint (labels
-        # are monotone non-increasing).
-        # ``old IS NULL`` = the vertex entered the state via messages only
-        # (an edge endpoint absent from ``vertices``): it has never sent,
-        # so it must be a sender next round — dropping it would freeze the
-        # frontier into a false fixpoint (same rule as sssp's frontier)
-        changed = F.col("old").isNull() | (F.col("component") < F.col("old"))
-        n_frontier = (
-            new.agg(F.sum(F.when(changed, 1)).alias("nf")).first()["nf"] or 0
+        return new
+
+    # ``old IS NULL`` = the vertex entered the state via messages only
+    # (an edge endpoint absent from ``vertices``): it has never sent,
+    # so it must be a sender next round — dropping it would freeze the
+    # frontier into a false fixpoint (same rule as sssp's frontier)
+    changed = F.col("old").isNull() | (F.col("component") < F.col("old"))
+    labels0 = vertices.select("id", vertices.id.alias("component"))
+    chain = _StateChain(checkpoint_every)
+    # round 0: every vertex is a sender
+    cur = chain.advance(step(labels0, labels0))
+    cur_pinned = chain.last_pinned
+    converged = False
+    for it in range(max_iterations):
+        # ONE aggregate job per round (r6): materializes the generation
+        # AND counts the next frontier — OVERLAPPED with the next round's
+        # Catalyst compile (the next plan depends only on this
+        # generation's leaf, never on the probe's count). Zero frontier ⟺
+        # no label changed ⟺ fixpoint (labels are monotone
+        # non-increasing); on the converged round the speculative
+        # generation is discarded unexecuted.
+        row, nxt = chain.advance_overlapped(
+            lambda: step(
+                cur.select("id", "component"),
+                cur.filter(changed).select("id", "component"),
+            ),
+            lambda: cur.agg(F.sum(F.when(changed, 1)).alias("nf")).first(),
         )
-        frontier = new.filter(changed).select("id", "component")
+        n_frontier = row["nf"] or 0
         converged = n_frontier == 0
-        labels = new.select("id", "component")
         if on_round:
             on_round(it)
         if converged:
             break
+        cur, cur_pinned = nxt, chain.last_pinned
     if not converged:
         chain.close()
         # Raise-don't-truncate (same policy as reachability,
@@ -455,7 +553,7 @@ def connected_components(
             f"{max_iterations} supersteps; raise max_iterations "
             "(long-diameter graph) or use connected_components_two_phase"
         )
-    return chain.seal(labels.select("id", "component"))
+    return chain.seal(cur.select("id", "component"), pinned=cur_pinned)
 
 
 def connected_components_two_phase(
@@ -866,6 +964,28 @@ def bfs(
     # The visited set stays a lazy union of fast_pin'd frontier leaves,
     # re-pinned every 3 levels to bound RDD lineage and release caches.
     visited_pin_every = max(1, 3 * max(1, checkpoint_every))
+
+    def build_push(depth: int, frontier: DataFrame, visited: DataFrame) -> DataFrame:
+        f = _hint_state(frontier)
+        return (
+            sym.join(f, sym.src == f.id)
+            .select(sym.dst.alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+
+    def build_pull(depth: int, frontier: DataFrame, visited: DataFrame) -> DataFrame:
+        unvisited = vertices.join(visited.select("id"), "id", "left_anti")
+        return (
+            sym.join(unvisited.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .join(frontier.select(F.col("id").alias("src")), "src", "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .withColumn("dist", F.lit(depth))
+        )
+
+    spec: DataFrame | None = None  # speculatively compiled next level (push)
     try:
         while d < max_depth:
             d += 1
@@ -879,36 +999,38 @@ def bfs(
                 and frontier_size > dense_threshold * n
                 and 0 < unvisited_size < frontier_size
             )
-            if dense:
-                unvisited = vertices.join(visited.select("id"), "id", "left_anti")
-                nxt = (
-                    sym.join(
-                        unvisited.select(F.col("id").alias("dst")), "dst", "left_semi"
-                    )
-                    .join(
-                        frontier.select(F.col("id").alias("src")), "src", "left_semi"
-                    )
-                    .select(F.col("dst").alias("id"))
-                    .distinct()
-                    .withColumn("dist", F.lit(d))
-                )
+            if spec is not None and not dense:
+                nxt = spec  # compiled during the previous level's count
             else:
-                f = _hint_state(frontier)
-                nxt = (
-                    sym.join(f, sym.src == f.id)
-                    .select(sym.dst.alias("id"))
-                    .distinct()
-                    .join(visited, "id", "left_anti")
-                    .withColumn("dist", F.lit(d))
-                )
-            # rebind-then-cache: one Catalyst compile per level (see
-            # _StateChain.advance)
-            nxt = fast_pin(nxt).cache()
+                if spec is not None:
+                    spec.unpersist()  # speculation was push; level went dense
+                # rebind-then-cache: one Catalyst compile per level (see
+                # _StateChain.advance)
+                nxt = fast_pin(
+                    (build_pull if dense else build_push)(d, frontier, visited)
+                ).cache()
+            spec = None
             live_caches.append(nxt)
+            will_pin_visited = d % visited_pin_every == 0
             if n is not None:
                 # dense switch needs exact sizes; the count also
-                # materializes the cache — one job per level
-                frontier_size = nxt.count()
+                # materializes the cache — one job per level, OVERLAPPED
+                # with the speculative compile of the next level's push
+                # shape (the plan depends only on this level's leaf; if
+                # the count flips the next level to pull, the speculation
+                # is discarded and the pull shape compiles sequentially —
+                # at most 1-3 dense levels on a web BFS). Levels that
+                # re-pin the visited union skip speculation: the pin
+                # replaces the leaves the speculative plan would bind to.
+                if not will_pin_visited and d < max_depth:
+                    frontier_size, spec = _compile_overlapped(
+                        nxt.count,
+                        lambda: fast_pin(
+                            build_push(d + 1, nxt, visited.unionByName(nxt))
+                        ).cache(),
+                    )
+                else:
+                    frontier_size = nxt.count()
                 empty = frontier_size == 0
             else:
                 # pure-push path: a limit-1 probe beats a full frontier scan;
@@ -923,7 +1045,10 @@ def bfs(
             if frontier_size is not None:
                 visited_size += frontier_size
             visited = visited.unionByName(nxt)
-            if d % visited_pin_every == 0:
+            if will_pin_visited:
+                if spec is not None:
+                    spec.unpersist()
+                    spec = None
                 visited = pin(visited)
                 for c in live_caches:
                     c.unpersist()
@@ -932,6 +1057,8 @@ def bfs(
         # pin the result before the frontier caches are released
         return pin(visited)
     finally:
+        if spec is not None:
+            spec.unpersist()
         for c in live_caches:
             c.unpersist()
 
@@ -964,17 +1091,15 @@ def sssp(
     spark = wedges.sparkSession
     wtype = dict(wedges.dtypes)["w"]
     zero = 0.0 if wtype in ("double", "float") else 0
-    dist = spark.createDataFrame([(source, zero)], f"id long, dist {wtype}")
+    dist0 = spark.createDataFrame([(source, zero)], f"id long, dist {wtype}")
+
     # Frontier-based relaxation (the reference's frontier semantics,
     # sssp.h:196-236, and this engine's fused-delta pattern): only
     # vertices whose tentative distance changed last round relax their
     # out-edges. A distance the frontier delivered once never needs
     # re-delivery — dist+w candidates from an unchanged u are already
     # folded into every neighbor's min. Empty frontier ⟺ fixpoint.
-    frontier = dist
-    chain = _StateChain(max(2, checkpoint_every))
-    converged = False
-    for it in range(max_iterations):
+    def step(dist: DataFrame, frontier: DataFrame) -> DataFrame:
         f = _hint_state(frontier)
         relaxed = (
             wedges.join(f, wedges.src == f.id)
@@ -986,24 +1111,35 @@ def sssp(
             .withColumn("old", F.lit(None).cast(wtype))
         )
         st = dist.select("id", "dist", F.col("dist").alias("old"))
-        new = (
+        return (
             st.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"), F.min("old").alias("old"))
         )
-        new = chain.advance(new)
-        # newly reached (old is null) or improved (dist < old) → frontier.
-        # ONE aggregate job per superstep (r6, was eager checkpoint +
-        # isEmpty probe): materializes the generation and counts senders.
-        changed = F.col("old").isNull() | (F.col("dist") < F.col("old"))
-        n_frontier = (
-            new.agg(F.sum(F.when(changed, 1)).alias("nf")).first()["nf"] or 0
+
+    # newly reached (old is null) or improved (dist < old) → frontier
+    changed = F.col("old").isNull() | (F.col("dist") < F.col("old"))
+    chain = _StateChain(max(2, checkpoint_every))
+    cur = chain.advance(step(dist0, dist0))
+    cur_pinned = chain.last_pinned
+    converged = False
+    for it in range(max_iterations):
+        # ONE aggregate job per superstep (r6): materializes the
+        # generation and counts senders — overlapped with the next
+        # superstep's Catalyst compile (the relax plan depends only on
+        # this generation's leaf; the speculative generation is discarded
+        # unexecuted on the converged round).
+        row, nxt = chain.advance_overlapped(
+            lambda: step(
+                cur.select("id", "dist"),
+                cur.filter(changed).select("id", "dist"),
+            ),
+            lambda: cur.agg(F.sum(F.when(changed, 1)).alias("nf")).first(),
         )
-        frontier = new.filter(changed).select("id", "dist")
-        converged = n_frontier == 0
-        dist = new.select("id", "dist")
+        converged = (row["nf"] or 0) == 0
         if converged:
             break
+        cur, cur_pinned = nxt, chain.last_pinned
     if not converged:
         chain.close()
         # Raise-don't-truncate (the CC/min-label policy): frozen tentative
@@ -1013,7 +1149,7 @@ def sssp(
             "supersteps; raise max_iterations (long-diameter or "
             "small-weight graph)"
         )
-    return chain.seal(dist)
+    return chain.seal(cur.select("id", "dist"), pinned=cur_pinned)
 
 
 def sssp_delta_stepping(
