@@ -551,19 +551,113 @@ def tarjan_vishkin_bcc_edges(
     )
 
 
+def _bcc_summary_driver(pairs, n_vertices: int):
+    """Driver fast path for ``bcc_summary``: iterative Hopcroft-Tarjan
+    (the reference's sequential algorithm, src/BCC/hopcroft-tarjan.h:8-79)
+    over the collected (src < dst) edge pairs. The summary's four counts
+    are graph INVARIANTS — biconnected components are a unique edge
+    partition, connectivity a unique vertex partition — so any correct
+    algorithm produces the identical row; strategy only picks machinery.
+    Returns (n_cc, n_bcc, largest_bcc_edges, n_bridges) mirroring the
+    distributed aggregate exactly (empty partition -> (n_cc, 0, None,
+    None), the aggregate-over-zero-rows shape)."""
+    adj: dict[int, list[int]] = {}
+    for u, v in pairs:
+        if u == v:
+            continue  # self-loops carry no BCC edge (the src < dst filter)
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    disc: dict[int, int] = {}
+    low: dict[int, int] = {}
+    sizes: list[int] = []
+    timer = 0
+    n_edge_cc = 0
+    norm = lambda u, v: (u, v) if u < v else (v, u)  # noqa: E731
+    for s in sorted(adj):
+        if s in disc:
+            continue
+        n_edge_cc += 1
+        disc[s] = low[s] = timer
+        timer += 1
+        stack = [(s, -1, iter(sorted(adj[s])))]
+        estack: list[tuple[int, int]] = []
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in disc:
+                    estack.append(norm(v, w))
+                    disc[w] = low[w] = timer
+                    timer += 1
+                    stack.append((w, v, iter(sorted(adj[w]))))
+                    advanced = True
+                    break
+                elif w != parent and disc[w] < disc[v]:
+                    estack.append(norm(v, w))
+                    if disc[w] < low[v]:
+                        low[v] = disc[w]
+            if advanced:
+                continue
+            stack.pop()
+            if stack:
+                u = stack[-1][0]
+                if low[v] < low[u]:
+                    low[u] = low[v]
+                if low[v] >= disc[u]:
+                    size = 0
+                    top = norm(u, v)
+                    while estack[-1] != top:
+                        estack.pop()
+                        size += 1
+                    estack.pop()
+                    size += 1
+                    sizes.append(size)
+    # isolated vertices (no incident sparse edge) are singleton components
+    n_cc = n_edge_cc + (n_vertices - len(adj))
+    if not sizes:
+        return n_cc, 0, None, None
+    return n_cc, len(sizes), max(sizes), sum(1 for x in sizes if x == 1)
+
+
 def bcc_summary(
     sym: DataFrame,
     vertices: DataFrame,
     *,
     strategy: str = "level",
     cc: DataFrame | None = None,
+    max_driver_edges: int | None = None,
 ) -> DataFrame:
     """One row (n_cc, n_bcc, largest_bcc_edges, n_bridges) — the
     reference's published artifact shape (src/BCC/fast-bcc.tsv:1,
     get_num_bcc at fast-bcc.h:261-282; bcc counted per distinct edge
-    cluster, bridges = single-edge BCCs)."""
+    cluster, bridges = single-edge BCCs).
+
+    Hybrid (r6, the engine's shrink-then-residual idiom, same budget
+    class as ``connected_components_auto``'s zero-round path): when the
+    edge table fits the driver budget, ONE collect + sequential
+    Hopcroft-Tarjan computes the whole summary — the counts are graph
+    invariants, so the row is identical to either distributed strategy's
+    (differential-tested). Past ``max_driver_edges`` (default
+    ``euler.MAX_DRIVER_ROWS``) the distributed machinery below runs
+    unchanged — that is the 100 TB path."""
+    from pasgal_spark.graph.euler import MAX_DRIVER_ROWS
+
+    budget = MAX_DRIVER_ROWS if max_driver_edges is None else max_driver_edges
+    m_upper = sym.count()  # cheap on the pinned/cached ingest leaf
+    if m_upper <= 2 * budget:
+        pdf = sym.filter(F.col("src") < F.col("dst")).toPandas()
+        n_vertices = vertices.count()
+        row = _bcc_summary_driver(
+            zip(pdf["src"].tolist(), pdf["dst"].tolist()), n_vertices
+        )
+        return vertices.sparkSession.createDataFrame(
+            [row], "n_cc long, n_bcc long, largest_bcc_edges long, n_bridges long"
+        )
+
     cc, tags = _cc_and_tags(sym, vertices, cc, strategy)
-    n_cc = cc.select("component").distinct().count()
+    # distinct-count as a 1-row broadcast relation: rides the final
+    # aggregate's job instead of paying its own driver action (r6)
+    ncc = cc.agg(F.countDistinct("component").alias("n_cc"))
     e = bcc_edges(sym, vertices, strategy=strategy, cc=cc, tags=tags)
     per = e.groupBy("bcc").agg(F.count(F.lit(1)).alias("n_edges"))
     agg = per.agg(
@@ -571,8 +665,8 @@ def bcc_summary(
         F.max("n_edges").alias("largest_bcc_edges"),
         F.sum(F.when(F.col("n_edges") == 1, 1).otherwise(0)).alias("n_bridges"),
     )
-    return agg.select(
-        F.lit(n_cc).cast("long").alias("n_cc"),
+    return agg.crossJoin(F.broadcast(ncc)).select(
+        F.col("n_cc").cast("long"),
         F.col("n_bcc").cast("long"),
         F.col("largest_bcc_edges").cast("long"),
         F.col("n_bridges").cast("long"),

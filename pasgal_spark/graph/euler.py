@@ -410,13 +410,18 @@ def boruvka_forest_cc(
     if phase1_engaged:
         # phase-1 contraction roots are arbitrary cluster members;
         # canonicalize to min-id per component (two O(n) shuffles —
-        # cheaper than the full CC pass this labeling replaces)
+        # cheaper than the full CC pass this labeling replaces). Pin: the
+        # labeling plan is join-deep and callers reference it 2-3x.
         cmin = labels.groupBy("comp").agg(F.min("id").alias("component"))
-        cc = labels.join(cmin, "comp").select("id", "component")
+        cc = labels.join(cmin, "comp").select("id", "component").transform(pin)
     else:
-        # pure driver path: min-linking kept roots canonical already
+        # pure driver path: min-linking kept roots canonical already, and
+        # the labeling plan is just (vertices leaf ⋈ broadcast remap) —
+        # one projection per consumer. Leaving it lazy skips the pin's
+        # localCheckpoint job (r6); recomputing a broadcast join per
+        # reference is cheaper than the job it saves at every tier.
         cc = labels.select("id", F.col("comp").alias("component"))
-    return forest, cc.transform(pin)
+    return forest, cc
 
 
 def _tags_from_ent(cc: DataFrame, ent: DataFrame) -> DataFrame:

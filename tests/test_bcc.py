@@ -290,3 +290,20 @@ def test_connected_components_auto_matches_two_phase(spark):
     for got in (got_auto, got_edge):
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_bcc_summary_driver_matches_distributed(spark):
+    """The r6 driver fast path for bcc_summary (one collect + sequential
+    Hopcroft-Tarjan) must produce the identical row to the distributed
+    machinery (max_driver_edges=0 forces it) under both strategies — the
+    summary's counts are graph invariants."""
+    for seed in (11, 12):
+        pairs, n = _random_graph(seed, 120, 160)
+        sym = edges_df(spark, _sym_pairs(pairs))
+        vertices = vertices_df(spark, range(n))
+        fast = bccmod.bcc_summary(sym, vertices).first()
+        for strategy in ("level", "euler"):
+            dist = bccmod.bcc_summary(
+                sym, vertices, strategy=strategy, max_driver_edges=0
+            ).first()
+            assert tuple(fast) == tuple(dist), f"seed {seed} {strategy}"
