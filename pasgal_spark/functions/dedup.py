@@ -252,14 +252,28 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame, threshold: float = 0.7) ->
 def near_dup_pipeline(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     """Full near-dup pipeline with intermediate caching: shingle → MinHash →
     LSH bands → candidate pairs → Jaccard verify. The bench/production
-    entry point (pure stages above stay cache-free for oracle replay)."""
+    entry point (pure stages above stay cache-free for oracle replay).
+
+    The intermediates are zero-job ``fast_pin`` leaves + cache (r6): each
+    stage's plan stays flat and multi-references compute once, but no
+    stage pays its own materialization job — the verify stage's single
+    pin job executes the whole pipeline through the cache boundaries
+    (was: one checkpoint job per stage). The caches are released in
+    ``finally``, after the verified output is checkpoint-backed."""
+    from pasgal_spark.plans.lineage import fast_pin
+
     docs = docs.cache()
+    piv = pairs = None
     try:
-        piv = minhash_pivot(docs).transform(pin)
-        pairs = lsh_candidate_pairs(docs, piv).transform(pin)
+        piv = fast_pin(minhash_pivot(docs)).cache()
+        pairs = fast_pin(lsh_candidate_pairs(docs, piv)).cache()
         return jaccard_verify(docs, pairs, threshold)
     finally:
         docs.unpersist()
+        if piv is not None:
+            piv.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
