@@ -254,26 +254,20 @@ def near_dup_pipeline(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     LSH bands → candidate pairs → Jaccard verify. The bench/production
     entry point (pure stages above stay cache-free for oracle replay).
 
-    The intermediates are zero-job ``fast_pin`` leaves + cache (r6): each
-    stage's plan stays flat and multi-references compute once, but no
-    stage pays its own materialization job — the verify stage's single
-    pin job executes the whole pipeline through the cache boundaries
-    (was: one checkpoint job per stage). The caches are released in
-    ``finally``, after the verified output is checkpoint-backed."""
-    from pasgal_spark.plans.lineage import fast_pin
-
+    Stage materialization stays the per-stage checkpoint (``pin``): an r6
+    experiment replaced it with lazy leaf caches (zero jobs) and then
+    cache+count — both LOST at the 10x tier (13.7-16.3 s vs 8.1-8.5 s
+    same-window; the candidate self-join reads the signature relation
+    four times, and cached-columnar reads + the stats-driven strategy
+    flips they cause are costlier than one checkpoint write). Measured,
+    reverted; see OPTIMIZATION_r06.md."""
     docs = docs.cache()
-    piv = pairs = None
     try:
-        piv = fast_pin(minhash_pivot(docs)).cache()
-        pairs = fast_pin(lsh_candidate_pairs(docs, piv)).cache()
+        piv = minhash_pivot(docs).transform(pin)
+        pairs = lsh_candidate_pairs(docs, piv).transform(pin)
         return jaccard_verify(docs, pairs, threshold)
     finally:
         docs.unpersist()
-        if piv is not None:
-            piv.unpersist()
-        if pairs is not None:
-            pairs.unpersist()
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
