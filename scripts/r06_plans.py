@@ -63,9 +63,11 @@ def main() -> None:
     # -- pagerank: result + one superstep (state join + agg + delta carry) --
     pr = kernels.pagerank(g.edges, g.vertices, tol=1e-6)
     add("pagerank_1e6", "result", pr)
-    # superstep mirror: tol-mode fused shape (see kernels._pagerank_tol) —
-    # state row rides the message-combine aggregate; dangling mass is a
-    # literal; state side carries the join-strategy hint.
+    # superstep mirror: tol-mode fused + overlapped shape (see
+    # kernels._pagerank_tol) — state row rides the message-combine
+    # aggregate; dangling mass is a 1-row broadcast scalar aggregate over
+    # the previous state (data-independent plan, so the next superstep's
+    # compile can overlap the probe); state side carries the join hint.
     from pasgal_spark.graph.kernels import _hint_state
 
     state = g.vertices.select(
@@ -82,18 +84,24 @@ def main() -> None:
         "id", "out_deg", F.col("rank").alias("prev_rank"),
         F.lit(None).cast("double").alias("c"),
     )
-    new_rank = F.lit(0.1) + F.lit(0.85) * (
-        F.coalesce(F.sum("c"), F.lit(0.0)) + F.lit(0.0)
-    )
-    new_state = (
+    agg = (
         st.unionByName(msgs)
         .groupBy("id")
         .agg(
             F.min("out_deg").alias("out_deg"),
-            new_rank.alias("rank"),
+            F.coalesce(F.sum("c"), F.lit(0.0)).alias("contrib"),
             F.min("prev_rank").alias("prev_rank"),
         )
         .filter(F.col("prev_rank").isNotNull())
+    )
+    dm = state.filter("out_deg = 0").agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+    )
+    new_rank = F.lit(0.1) + F.lit(0.85) * (
+        F.col("contrib") + F.col("_dm") / F.lit(2.0)
+    )
+    new_state = agg.crossJoin(F.broadcast(dm)).select(
+        "id", "out_deg", new_rank.alias("rank"), "prev_rank"
     )
     add("pagerank_1e6", "superstep", new_state)
 
