@@ -450,3 +450,23 @@ def test_frontier_handles_message_only_vertices(spark):
     assert dict(
         kernels.label_propagation(sym, verts, rounds=3).collect()
     ) == {0: 0, 1: 0, 2: 0}
+
+
+def test_cc_overlapped_loop_across_pin_cadences(spark):
+    """The r6 overlapped superstep loop (advance_overlapped: background
+    compile of round k+1 during round k's probe) must produce correct,
+    re-usable results for every pin cadence — including checkpoint_every=1
+    (every generation takes the sequential pin branch) and cadences where
+    convergence lands on or beside a pin generation (the seal
+    pinned-ness/cache-retention edge)."""
+    sym = edges_df(spark, _sym_pairs(PATH_EDGES))
+    verts = vertices_df(spark, range(PATH_N))
+    want = cc_oracle(PATH_N, PATH_EDGES)
+    for every in (1, 2, 3, 4):
+        out = kernels.connected_components(
+            sym, verts, checkpoint_every=every, pointer_jump=False
+        )
+        got = dict(out.collect())
+        assert got == want, f"checkpoint_every={every}"
+        # sealed result stays usable after the chain's caches released
+        assert out.count() == PATH_N, f"checkpoint_every={every}"
