@@ -267,17 +267,20 @@ def pagerank(
     """
     assert iterations is not None or tol is not None
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    base = (
+    # base is a cached leaf materialized by the prologue aggregate below —
+    # ONE prologue job total (r6; was a checkpoint job + vertices.count()
+    # + a separate dangling filter-count). The cache is released when the
+    # kernel returns: the result is checkpoint-backed by then (tol: seal;
+    # iterations: the forced final pin).
+    base = fast_pin(
         vertices.join(deg, vertices.id == deg.src, "left")
         .select(vertices.id, F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .transform(pin)
-    )
-    # ONE prologue aggregate over the pinned base returns |V| AND the
-    # dangling count (r6; was vertices.count() + a separate filter-count
-    # job — the left join preserves the vertex count exactly). Web graphs
-    # usually have dangling pages, but when a derived graph has none the
-    # whole dangling branch (scan + broadcast subquery per superstep) is
-    # dead weight — check once up front.
+    ).cache()
+    # The aggregate returns |V| AND the dangling count (the left join
+    # preserves the vertex count exactly). Web graphs usually have
+    # dangling pages, but when a derived graph has none the whole
+    # dangling branch (scan + broadcast subquery per superstep) is dead
+    # weight — check once up front.
     row = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("out_deg") == 0, 1).otherwise(0)).alias("nd"),
@@ -287,14 +290,39 @@ def pagerank(
     chain = _StateChain(checkpoint_every)
     has_dangling = n_dangling > 0
 
-    if tol is not None:
-        return _pagerank_tol(
+    try:
+        if tol is not None:
+            return _pagerank_tol(
+                edges, state, chain,
+                n=n, damping=damping, tol=tol, iterations=iterations,
+                has_dangling=has_dangling,
+                on_superstep=on_superstep,
+            )
+        return _pagerank_iterations(
             edges, state, chain,
-            n=n, damping=damping, tol=tol, iterations=iterations,
-            has_dangling=has_dangling,
+            n=n, damping=damping, iterations=iterations,
+            has_dangling=has_dangling, salt_buckets=salt_buckets,
             on_superstep=on_superstep,
         )
+    finally:
+        base.unpersist()
 
+
+def _pagerank_iterations(
+    edges: DataFrame,
+    state: DataFrame,
+    chain: _StateChain,
+    *,
+    n: int,
+    damping: float,
+    iterations: int,
+    has_dangling: bool,
+    salt_buckets: int,
+    on_superstep: Callable[[int, float], None] | None,
+) -> DataFrame:
+    """Fixed-iteration PageRank superstep loop (deterministic,
+    oracle-matched — the declared query's mode; aggregation structure
+    unchanged since the oracle hash pinned it)."""
     it = 0
     while True:
         s = _hint_state(state)
