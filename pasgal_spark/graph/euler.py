@@ -330,8 +330,10 @@ def boruvka_forest_cc(
             )
             .agg(F.min("key").alias("key"))
         )
-        rows = rem.select("x", "y", "key").limit(max_residual + 1).collect()
-        cnt = len(rows)
+        # limit-bounded Arrow transfer (r6; was .collect() — Row objects
+        # cost ~10x the arrow path in driver time/memory at the budget edge)
+        rpdf = rem.select("x", "y", "key").limit(max_residual + 1).toPandas()
+        cnt = len(rpdf)
         if cnt == 0:
             break
         if cnt <= max_residual:
@@ -351,7 +353,10 @@ def boruvka_forest_cc(
                 return r
 
             chosen_keys = []
-            for x, y, k in sorted(rows, key=lambda r: r[2]):
+            rpdf = rpdf.sort_values("key")
+            for x, y, k in zip(
+                rpdf["x"].tolist(), rpdf["y"].tolist(), rpdf["key"].tolist()
+            ):
                 rx, ry = find(x), find(y)
                 if rx != ry:
                     if rx < ry:

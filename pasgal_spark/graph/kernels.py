@@ -602,6 +602,7 @@ def connected_components_two_phase(
     max_residual: int = 4_000_000,
     checkpoint_every: int = 2,
     on_round: Callable[[int], None] | None = None,
+    m_upper: int | None = None,
 ) -> DataFrame:
     """Exact CC in a FIXED number of supersteps + driver union-find.
 
@@ -629,7 +630,28 @@ def connected_components_two_phase(
     changed) — and even a different phase-1 labeling could not change the
     result, because phase 2 finishes connectivity exactly from ANY
     labeling whose residual fits the budget.
+
+    Budget probe (r6 second wave, = ``connected_components_auto``'s fast
+    path): when the deduped pair count provably fits the driver budget
+    (m <= 2*max_residual for a symmetric edge table), the shrink rounds
+    are pure overhead — phase 2 runs directly over identity labels
+    (labels identical by the canonical-min-id contract, pinned by
+    test_connected_components_auto_matches_two_phase; ``on_round`` never
+    fires because no distributed round ran). Past the budget the fixed
+    shrink supersteps engage unchanged — that is the 100 TB path.
+    ``m_upper``: caller-known bound on ``sym.count()``, skips the probe.
+    Precondition of the direct path (held by every engine caller): edge
+    endpoints ⊆ ``vertices``.
     """
+    if m_upper is None:
+        m_upper = sym.count()
+    if m_upper <= 2 * max_residual:
+        identity = vertices.select("id", vertices.id.alias("component"))
+        return cc_phase2_union_find(
+            sym, identity, max_residual=max_residual,
+            context="(two-phase: direct driver union-find)",
+            identity_labels=True,
+        )
     labels = vertices.select("id", vertices.id.alias("component"))
     frontier = labels  # round 0: every vertex is a sender
     chain = _StateChain(checkpoint_every)
@@ -703,7 +725,7 @@ def connected_components_auto(
             identity_labels=True,
         )
     return connected_components_two_phase(
-        sym, vertices, max_residual=max_residual
+        sym, vertices, max_residual=max_residual, m_upper=m_upper
     )
 
 
@@ -750,13 +772,15 @@ def cc_phase2_union_find(
             .select(F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b"))
             .distinct()
         )
-    pairs = residual.limit(max_residual + 1).collect()
-    if len(pairs) > max_residual:
+    # limit-bounded Arrow transfer (r6; was .collect() — 4M Row objects
+    # cost ~10x the arrow path in driver time and memory at the budget edge)
+    pdf = residual.limit(max_residual + 1).toPandas()
+    if len(pdf) > max_residual:
         raise RuntimeError(
             f"two-phase CC residual exceeds {max_residual} pairs {context}; "
             "raise shrink_rounds"
         )
-    if not pairs:
+    if len(pdf) == 0:
         return labels.select("id", "component")
 
     # Sequential union-find with path halving (the declarative analog of
@@ -771,8 +795,8 @@ def cc_phase2_union_find(
             r = uf[r]
         return r
 
-    for row in pairs:
-        ra, rb = find(row["a"]), find(row["b"])
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+        ra, rb = find(a), find(b)
         if ra != rb:
             # link larger root under smaller: keeps roots = group minima
             if ra < rb:

@@ -264,13 +264,20 @@ def test_two_phase_cc_matches_fixpoint_loop_on_long_diameter_grid(spark):
         sym, vertices, on_round=lambda i: old_rounds.append(i)
     )
     new_rounds: list[int] = []
+    # max_residual below m/2 forces the DISTRIBUTED two-phase path (the r6
+    # budget probe would otherwise skip phase 1 on a fixture this small —
+    # this test's point is the distributed path's diameter independence)
     new = kernels.connected_components_two_phase(
-        sym, vertices, shrink_rounds=2, on_round=lambda i: new_rounds.append(i)
+        sym, vertices, shrink_rounds=2, max_residual=6000,
+        on_round=lambda i: new_rounds.append(i)
     )
     assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
     # constant supersteps vs diameter-driven loop: >= 3x fewer
     assert len(new_rounds) == 2
     assert len(old_rounds) >= 3 * len(new_rounds)
+    # and the budget fast path (no distributed rounds) is label-identical
+    fast = kernels.connected_components_two_phase(sym, vertices)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, new.collect()))
 
 
 def test_two_phase_cc_matches_on_canonical_graph(spark, sf_dir):
